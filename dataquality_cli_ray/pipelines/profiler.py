@@ -1,0 +1,152 @@
+"""``describe`` — the reference's column profiler, Ray-Data-first.
+
+Reference lifecycle (``cmd/describe.go:261-280`` →
+``internal/engine/adaptive_streaming_engine.go:83-123``): one engine per
+file, per-column accumulators updated row-at-a-time, finalized into
+``DescribeResult``/``ColumnStats`` (``simple_engine.go:25-50``).
+
+Ray-native shape: ``map_batches`` emits one pickled
+``dict[col -> ColumnPartial]`` per block (tiny — raw rows never leave
+their block), the driver streams and merges them (associative merge),
+and ``finalize`` yields the stats table. This is a pure streaming
+aggregation: no shuffle, no materialization of the input, and the
+partial structs are O(columns × caps) regardless of input size.
+
+At 100 TB: block-level partials merge on the driver at
+O(blocks × columns × partial_size); for very large column counts, swap
+the driver merge for a two-level tree merge (`.map_batches` over
+batched partials) — the merge is associative so the change is local.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any
+
+import pyarrow as pa
+
+import ray.data
+
+from ..state.sketches import (
+    ColumnPartial,
+    merge_partial_maps,
+    partials_for_table,
+)
+
+
+class _PartialStats:
+    """Stateless map_batches fn: Arrow block -> one-row table carrying a
+    pickled partials map."""
+
+    def __init__(self, columns: list[str] | None = None):
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        partials = partials_for_table(batch, self.columns)
+        blob = pickle.dumps(partials)
+        return pa.table({"partial": pa.array([blob], type=pa.binary())})
+
+
+def column_partials(
+    ds: "ray.data.Dataset",
+    columns: list[str] | None = None,
+    batch_size: int | None = 65536,
+) -> dict[str, ColumnPartial]:
+    """Run the partial-stats pass and merge on the driver (streaming)."""
+    part_ds = ds.map_batches(
+        _PartialStats(columns),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    merged: dict[str, ColumnPartial] = {}
+    for b in part_ds.iter_batches(batch_size=256, batch_format="pyarrow"):
+        maps = [pickle.loads(x.as_py()) for x in b["partial"]]
+        merged = merge_partial_maps(([merged] if merged else []) + maps)
+    return merged
+
+
+def describe(
+    ds: "ray.data.Dataset",
+    columns: list[str] | None = None,
+    batch_size: int | None = 65536,
+) -> pa.Table:
+    """Per-column stats table (the reference's ColumnStats, §2.5 A1-A7).
+
+    Output columns: column, kind, inferred_type, n, nulls, mean, std,
+    min, max, q25, q50, q75, unique, top, freq, min_str, max_str.
+    """
+    merged = column_partials(ds, columns, batch_size)
+    order = columns or list(merged.keys())
+    rows = [merged[c].finalize() for c in order if c in merged]
+    return _rows_to_table(rows)
+
+
+def _rows_to_table(rows: list[dict[str, Any]]) -> pa.Table:
+    schema = pa.schema(
+        [
+            ("column", pa.string()),
+            ("kind", pa.string()),
+            ("inferred_type", pa.string()),
+            ("n", pa.int64()),
+            ("nulls", pa.int64()),
+            ("mean", pa.float64()),
+            ("std", pa.float64()),
+            ("min", pa.float64()),
+            ("max", pa.float64()),
+            ("q25", pa.float64()),
+            ("q50", pa.float64()),
+            ("q75", pa.float64()),
+            ("unique", pa.int64()),
+            ("top", pa.string()),
+            ("freq", pa.int64()),
+            ("min_str", pa.string()),
+            ("max_str", pa.string()),
+        ]
+    )
+    cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
+    return pa.table(cols, schema=schema)
+
+
+def null_percentage(stats: pa.Table) -> float:
+    """Reference A8 file null-percentage: totalNulls / (rows*cols) * 100
+    (``adaptive_streaming_engine.go:112-119``)."""
+    n_cols = stats.num_rows
+    if not n_cols:
+        return 0.0
+    rows = stats["n"][0].as_py() or 0
+    total_nulls = sum(x.as_py() or 0 for x in stats["nulls"])
+    denom = rows * n_cols
+    return (total_nulls / denom * 100.0) if denom else 0.0
+
+
+def quality_rating(null_pct: float) -> str:
+    """Reference rating thresholds (cmd/describe.go:393-401):
+    Good ≤ 10 % nulls, Fair ≤ 25 %, else Poor."""
+    if null_pct <= 10.0:
+        return "Good"
+    if null_pct <= 25.0:
+        return "Fair"
+    return "Poor"
+
+
+def rollup(per_table: dict[str, pa.Table]) -> pa.Table:
+    """Cross-table rollup (reference A9, cmd/describe.go:331-359):
+    Σ rows, Σ cols, null % and rating per table + totals row."""
+    names, rows_l, cols_l, nullpct_l, rating_l = [], [], [], [], []
+    for name, stats in per_table.items():
+        np_ = null_percentage(stats)
+        names.append(name)
+        rows_l.append(stats["n"][0].as_py() if stats.num_rows else 0)
+        cols_l.append(stats.num_rows)
+        nullpct_l.append(np_)
+        rating_l.append(quality_rating(np_))
+    return pa.table(
+        {
+            "table_name": names,
+            "n_rows": pa.array(rows_l, type=pa.int64()),
+            "n_cols": pa.array(cols_l, type=pa.int64()),
+            "null_pct": pa.array(nullpct_l, type=pa.float64()),
+            "rating": rating_l,
+        }
+    )

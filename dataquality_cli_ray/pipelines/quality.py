@@ -1,0 +1,210 @@
+"""Flagship pipeline: language-ID + quality-filter + PII/toxicity-scrub
+over image+caption tables (BASELINE.json north rule).
+
+Stage graph (all lazy, streaming, backpressured):
+
+    read_parquet (pruned)                       source tasks
+      → HeuristicRules                          stateless map_batches (Arrow kernels)
+      → DecodeImageStage                        map_batches, small batches (binary rows)
+      → LangIdScorer                            ACTOR POOL (model shipped once via ray.put)
+      → PerplexityScorer                        ACTOR POOL
+      → PiiScrubber                             stateless map_batches (RE2 kernels)
+      → mark_dup_losers                         broadcast loser-set lookup (no row shuffle)
+      → finalize_decision                       stateless map_batches
+
+The ONLY wide operation is the phash-dedup aggregation, and it never
+moves image bytes: a separate column-pruned scan of (phash, image_id)
+is pre-combined per batch (one row per phash per batch — this bounds a
+hot phash's group to ≤ #blocks, the combiner playing the role of salted
+two-phase groupby), then ``groupby(phash)`` over the tiny combined rows
+(reference analogue: dedup is a *(doc claim)* at ``CLAUDE.md:27``; the
+groupby-keep-first shape is SURVEY.md §2.7/A10).
+
+Scale notes (100 TB):
+- The loser set broadcast holds only ids of rows that LOSE a dup group
+  (≈ dup fraction × N). When that outgrows driver memory, switch
+  ``mark_dup_losers`` to the bucketed-join variant in
+  ``pipelines.dedup.semi_join_filter`` (same decision, hash-bucketed).
+- Image bytes never enter a shuffle; caption stages are Arrow
+  zero-copy; models ship once per actor.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Min, Sum
+
+from ..fixtures.images import seed_corpus
+from ..stages.image_stages import DecodeImageStage
+from ..stages.langid import LangIdScorer, train_langid_model
+from ..stages.perplexity import PerplexityScorer, train_char_lm
+from ..stages.rules import HeuristicRules, QualityConfig, finalize_decision
+from ..stages.scrub import PiiScrubber
+
+OUTPUT_COLS = [
+    "image_id", "keep", "drop_reason", "caption_scrubbed",
+    "lang_pred", "lang_score", "ppl", "pii_hits", "phash",
+]
+
+
+def build_models(seed: int = 42) -> tuple[dict, dict]:
+    """Deterministic langid + perplexity models from the seeded corpus
+    (the 'model artifacts' an actor would otherwise load from disk)."""
+    texts, labels = seed_corpus(seed=seed)
+    langid = train_langid_model(texts, labels)
+    ppl = train_char_lm(texts)
+    return langid, ppl
+
+
+class _DupCombiner:
+    """Per-batch pre-aggregation for dedup: one (phash, winner, cnt) row
+    per distinct phash per batch — the combiner that defuses hot keys."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = batch.group_by("phash").aggregate(
+            [("image_id", "min"), ("phash", "count")]
+        )
+        return g.rename_columns(["phash", "winner", "cnt"])
+
+
+def phash_dup_losers(proj_ds: "rd.Dataset") -> dict[int, str]:
+    """phash → winning image_id for every phash with count > 1.
+
+    proj_ds must contain exactly (phash, image_id) — the caller does a
+    column-pruned read so bytes never flow through this aggregation.
+    """
+    combined = proj_ds.map_batches(
+        _DupCombiner(), batch_format="pyarrow", batch_size=65536,
+        zero_copy_batch=True,
+    )
+    agg = combined.groupby("phash").aggregate(
+        Min("winner", alias_name="winner"),
+        Sum("cnt", alias_name="cnt"),
+    )
+    dup = agg.filter(expr="cnt > 1")
+    out: dict[int, str] = {}
+    for b in dup.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for ph, w in zip(b["phash"].to_pylist(), b["winner"].to_pylist()):
+            out[ph] = w
+    return out
+
+
+class _MarkDupStage:
+    """Broadcast-lookup stage: rule_phash_dup = (phash in dup set) and
+    (image_id != winner). The dup map ships to each worker once as an
+    ObjectRef."""
+
+    def __init__(self, dup_ref):
+        if "ObjectRef" in type(dup_ref).__name__:
+            self.dup = ray.get(dup_ref)
+        else:
+            self.dup = dup_ref
+        import numpy as np
+        self.keys = np.fromiter(self.dup.keys(), dtype=np.int64, count=len(self.dup))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        ph = batch["phash"].to_numpy(zero_copy_only=False)
+        cand = np.isin(ph, self.keys)
+        mask = np.zeros(len(batch), dtype=bool)
+        if cand.any():
+            ids = batch["image_id"].to_pylist()
+            for i in np.nonzero(cand)[0]:
+                mask[i] = ids[i] != self.dup[int(ph[i])]
+        return batch.append_column("rule_phash_dup", pa.array(mask))
+
+
+def quality_pipeline(
+    ds: "rd.Dataset",
+    dup_map: dict[int, str] | None,
+    cfg: QualityConfig | None = None,
+    langid_model: dict | None = None,
+    ppl_model: dict | None = None,
+    decode: bool = True,
+    select_output: bool = True,
+    model_concurrency: int | tuple = (2, 8),
+    text_batch: int = 4096,
+    bytes_batch: int = 256,
+) -> "rd.Dataset":
+    """Assemble the flagship pipeline over an input Dataset."""
+    cfg = cfg or QualityConfig()
+    if langid_model is None or ppl_model is None:
+        lm, pm = build_models()
+        langid_model = langid_model or lm
+        ppl_model = ppl_model or pm
+
+    out = ds.map_batches(
+        HeuristicRules(cfg), batch_format="pyarrow", batch_size=text_batch,
+        zero_copy_batch=True,
+    )
+    if decode:
+        out = out.map_batches(
+            DecodeImageStage(), batch_format="pyarrow", batch_size=bytes_batch,
+            zero_copy_batch=True,
+        )
+    langid_ref = ray.put(langid_model)
+    ppl_ref = ray.put(ppl_model)
+    out = out.map_batches(
+        LangIdScorer,
+        fn_constructor_kwargs={"model_ref": langid_ref,
+                               "min_score": cfg.langid_min_score},
+        batch_format="pyarrow", batch_size=text_batch,
+        concurrency=model_concurrency, zero_copy_batch=True,
+    )
+    out = out.map_batches(
+        PerplexityScorer,
+        fn_constructor_kwargs={"model_ref": ppl_ref, "max_ppl": cfg.max_perplexity},
+        batch_format="pyarrow", batch_size=text_batch,
+        concurrency=model_concurrency, zero_copy_batch=True,
+    )
+    out = out.map_batches(
+        PiiScrubber(), batch_format="pyarrow", batch_size=text_batch,
+        zero_copy_batch=True,
+    )
+    if dup_map is not None:
+        dup_ref = ray.put(dup_map)
+        out = out.map_batches(
+            _MarkDupStage,
+            fn_constructor_kwargs={"dup_ref": dup_ref},
+            batch_format="pyarrow", batch_size=text_batch,
+            concurrency=model_concurrency, zero_copy_batch=True,
+        )
+    out = out.map_batches(
+        finalize_decision, batch_format="pyarrow", batch_size=text_batch,
+        zero_copy_batch=True,
+    )
+    if select_output:
+        out = out.select_columns(OUTPUT_COLS)
+    return out
+
+
+def images_quality_pipeline(
+    input_path: str,
+    cfg: QualityConfig | None = None,
+    decode: bool = True,
+    **kw,
+) -> "rd.Dataset":
+    """End-to-end over a parquet images table: the dedup aggregation
+    reads ONLY (phash, image_id) via a pruned scan; the main pass reads
+    the full rows. Two scans of a columnar source beat shuffling bytes."""
+    cfg = cfg or QualityConfig()
+    proj = rd.read_parquet(input_path, columns=[cfg.dedup_key, cfg.id_col])
+    dup_map = phash_dup_losers(proj)
+    ds = rd.read_parquet(input_path)
+    return quality_pipeline(ds, dup_map, cfg, decode=decode, **kw)
+
+
+def lineage_summary(out_ds: "rd.Dataset") -> pa.Table:
+    """Per-rule drop counts + keep count (the A9-style rollup): tiny
+    groupby over the label column only."""
+    agg = (
+        out_ds.select_columns(["drop_reason"])
+        .groupby("drop_reason")
+        .count()
+    )
+    t = pa.Table.from_pandas(agg.to_pandas())
+    return t.rename_columns(["drop_reason", "n"])

@@ -1,0 +1,141 @@
+"""Multimodal (image / audio / video) stages — actor-pool
+``map_batches`` over opaque ``binary`` columns with typed metadata.
+
+The sandbox has no image/audio libraries, so the CODEC is the
+deterministic fake in ``functions/imagefake.py`` (clearly marked); the
+Ray-side plumbing — schema, batch sizing for wide binary rows, actor
+signature, error quarantine, output layout — is real and tested.
+
+Error quarantine mirrors the reference's per-file ``Error`` capture
+(``internal/engine/simple_engine.go:49``, collected not fatal at
+``cmd/describe.go:336-338``): a corrupt payload sets
+``rule_decode_error`` + ``decode_err`` instead of failing the job.
+
+Batch-size note (100 TB): rows carry the encoded payload, so
+``batch_size`` for these stages must be small (64-256) to keep
+batch × concurrency within worker heaps; callers pass it via
+``map_batches(..., batch_size=...)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import imagefake as IF
+
+
+class DecodeImageStage:
+    """Decode + validate payloads. Adds: rule_decode_error (bool),
+    decode_err (string), dec_w/dec_h (int32), brightness, contrast
+    (float64), ahash (int64 average-hash of the decoded pixels).
+
+    Per-row decode is a Python loop by necessity (opaque binary codec —
+    a real JPEG decoder is also a per-row C call); the per-pixel work
+    inside is numpy.
+    """
+
+    def __init__(self, bytes_col: str = "bytes", validate_meta: bool = True):
+        self.bytes_col = bytes_col
+        self.validate_meta = validate_meta
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch[self.bytes_col].to_pylist()
+        w_meta = batch["w"].to_pylist() if "w" in batch.column_names else [None] * len(data)
+        h_meta = batch["h"].to_pylist() if "h" in batch.column_names else [None] * len(data)
+        n = len(data)
+        err = np.full(n, None, dtype=object)
+        dec_w = np.zeros(n, dtype=np.int32)
+        dec_h = np.zeros(n, dtype=np.int32)
+        bright = np.zeros(n, dtype=np.float64)
+        contrast = np.zeros(n, dtype=np.float64)
+        ahash = np.zeros(n, dtype=np.int64)
+        for i, blob in enumerate(data):
+            try:
+                arr, fmt = IF.decode_image(blob)
+                dec_h[i], dec_w[i] = arr.shape[:2]
+                if self.validate_meta and w_meta[i] is not None and (
+                    dec_w[i] != w_meta[i] or dec_h[i] != h_meta[i]
+                ):
+                    raise IF.CorruptImageError(
+                        f"meta {w_meta[i]}x{h_meta[i]} != decoded {dec_w[i]}x{dec_h[i]}"
+                    )
+                f = arr.astype(np.float32)
+                bright[i] = float(f.mean())
+                contrast[i] = float(f.std())
+                ahash[i] = IF.average_hash64(arr)
+            except IF.CorruptImageError as e:
+                err[i] = str(e)
+            except Exception as e:  # quarantine anything else too
+                err[i] = f"decode: {e}"
+        bad = np.array([e is not None for e in err])
+        out = batch.append_column("rule_decode_error", pa.array(bad))
+        out = out.append_column("decode_err", pa.array(err, type=pa.string()))
+        out = out.append_column("dec_w", pa.array(dec_w))
+        out = out.append_column("dec_h", pa.array(dec_h))
+        out = out.append_column("brightness", pa.array(bright))
+        out = out.append_column("contrast", pa.array(contrast))
+        out = out.append_column("ahash", pa.array(ahash))
+        return out
+
+
+class ResizeImageStage:
+    """Re-encode every decodable image at (out_w, out_h) via
+    nearest-neighbour resize; adds ``bytes_resized`` (null when the
+    source is corrupt)."""
+
+    def __init__(self, out_w: int, out_h: int, bytes_col: str = "bytes",
+                 fmt_col: str = "fmt"):
+        self.out_w, self.out_h = out_w, out_h
+        self.bytes_col, self.fmt_col = bytes_col, fmt_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch[self.bytes_col].to_pylist()
+        out = []
+        for blob in data:
+            try:
+                arr, fmt = IF.decode_image(blob)
+                out.append(IF.encode_image(
+                    IF.resize_nearest(arr, self.out_w, self.out_h), fmt))
+            except Exception:
+                out.append(None)
+        return batch.append_column("bytes_resized", pa.array(out, type=pa.binary()))
+
+
+class FrameSampleStage:
+    """Video frame sampling — STUB. Real decode needs a video library
+    absent from this container; the stage exists so the pipeline
+    wiring/schema is real. Raises on use."""
+
+    def __init__(self, every_n: int = 30):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "video frame sampling requires a codec library not present in "
+            "this environment; wire a real decoder here (same actor-pool "
+            "signature) when available"
+        )
+
+
+class AudioFeatureStage:
+    """Audio feature extraction — STUB with a deterministic fake: treats
+    the payload as PCM s16le and emits rms/duration columns so the
+    plumbing is testable without an audio library."""
+
+    def __init__(self, bytes_col: str = "audio_bytes", sample_rate: int = 16000):
+        self.bytes_col = bytes_col
+        self.sample_rate = sample_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch[self.bytes_col].to_pylist()
+        rms = np.zeros(len(data), dtype=np.float64)
+        dur = np.zeros(len(data), dtype=np.float64)
+        for i, blob in enumerate(data):
+            if blob:
+                x = np.frombuffer(blob[: len(blob) // 2 * 2], dtype=np.int16).astype(np.float64)
+                if len(x):
+                    rms[i] = float(np.sqrt(np.mean(x * x)))
+                    dur[i] = len(x) / self.sample_rate
+        out = batch.append_column("audio_rms", pa.array(rms))
+        return out.append_column("audio_sec", pa.array(dur))

@@ -1,0 +1,413 @@
+"""Mergeable per-column statistics partials — the profiler's core.
+
+The reference computes every statistic as a per-value streaming update
+plus a finalization (``internal/engine/simple_engine.go:143-364``).
+Here the same decomposition becomes: one ``ColumnPartial`` per column
+per Arrow block (vectorized pyarrow.compute kernels, no row loop), an
+associative ``merge``, and a ``finalize`` producing the stats row.
+Only tiny partial structs ever move — raw rows are never shuffled.
+
+Semantics notes vs the reference (deliberate divergences documented per
+SURVEY.md §7.4):
+
+- null rule: Arrow-null OR blank-after-trim for string columns
+  (replicates ``adaptive_streaming_engine.go:206-209``).
+- mean: exact Σx/n (the live path's ×100 fixed-point sampling,
+  ``adaptive_streaming_engine.go:273-287``, is NOT replicated — the
+  exact engines are the semantics source, ``simple_engine.go:277-280``).
+- std: population variance, but via numerically stable Chan/Welford
+  merge instead of the reference's catastrophic-cancellation
+  ``sqrt(E[x²]−E[x]²)`` (``simple_engine.go:287-293``) — same value,
+  stable at scale.
+- min/max: typed (numeric) min/max; the live path's lexicographic
+  numeric compare (``adaptive_streaming_engine.go:236-243``) is a bug
+  we do not replicate. String min/max stay lexicographic
+  (``simple_engine.go:325-342``).
+- unique: exact distinct via per-block distincts (capped) with an
+  automatic HyperLogLog fallback at scale; the live path's
+  divide-by-constant heuristic (``adaptive_streaming_engine.go:324-352``)
+  is not replicated.
+- quantiles: linear interpolation identical to SQL
+  ``percentile_cont`` (``simple_engine.go:344-364`` uses the same
+  formula over a sample); exact when values fit the cap, else a
+  deterministic stride-subsampled mergeable sketch with documented
+  ~1/cap rank tolerance.
+- top/freq (mode): per-block ``pc.value_counts`` merged, capped
+  space-saving style; tie-break = highest count then smallest value
+  (deterministic, matches the oracle's ``ORDER BY c DESC, v ASC``).
+- type inference (CSV-style string columns): the exact engines'
+  promotion lattice hasInt/hasFloat/hasString
+  (``simple_engine.go:262-270``), evaluated vectorized by regex.
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import stable_hash64
+
+INT_REGEX = r"^[+-]?[0-9]+$"
+FLOAT_REGEX = r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"
+
+DEFAULT_UNIQUE_CAP = 1 << 20       # exact distinct set cap per column
+DEFAULT_TOPK_CAP = 1 << 16         # value-counts map cap
+DEFAULT_VALUES_CAP = 1 << 21       # exact-quantile value buffer cap
+
+_NUMERIC_TYPES = (
+    pa.types.is_integer,
+    pa.types.is_floating,
+)
+
+
+def column_kind(t: pa.DataType) -> str:
+    if any(p(t) for p in _NUMERIC_TYPES):
+        return "numeric"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    return "other"
+
+
+class HyperLogLog:
+    """Classic HLL (p registers = 2^p), mergeable; used only when the
+    exact distinct set overflows its cap."""
+
+    def __init__(self, p: int = 14):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        h = np.asarray(hashes, dtype=np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)
+        # rank = leading zeros of the remaining 64-p bits + 1
+        lz = np.full(len(h), 64 - self.p + 1, dtype=np.uint8)
+        nz = rest != 0
+        if nz.any():
+            # position of highest set bit
+            bl = np.zeros(len(h), dtype=np.int64)
+            r = rest[nz]
+            bits = np.zeros(r.shape, dtype=np.int64)
+            v = r.copy()
+            for shift in (32, 16, 8, 4, 2, 1):
+                big = v >= (np.uint64(1) << np.uint64(shift))
+                bits[big] += shift
+                v[big] >>= np.uint64(shift)
+            bl[nz] = bits
+            lz[nz] = (64 - 1 - bl[nz]) + 1
+        np.maximum.at(self.registers, idx, lz)
+
+    def merge(self, other: "HyperLogLog") -> None:
+        np.maximum(self.registers, other.registers, out=self.registers)
+
+    def estimate(self) -> int:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / float(np.sum(2.0 ** (-self.registers.astype(np.float64))))
+        zeros = int(np.sum(self.registers == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * math.log(m / zeros)
+        return int(round(est))
+
+
+@dataclass
+class ColumnPartial:
+    name: str
+    kind: str
+    n: int = 0
+    nulls: int = 0
+    # numeric moments (Chan/Welford mergeable)
+    num_n: int = 0
+    mean: float = 0.0
+    m2: float = 0.0
+    min_num: float | None = None
+    max_num: float | None = None
+    # string/lexicographic extremes (also used for timestamps rendered ISO)
+    min_str: str | None = None
+    max_str: str | None = None
+    # distincts
+    uniques: set | None = field(default_factory=set)
+    hll: HyperLogLog | None = None
+    # mode
+    counts: dict | None = field(default_factory=dict)
+    counts_overflow: bool = False
+    # quantile values (numeric only)
+    values: list = field(default_factory=list)   # list[np.ndarray]
+    values_exact: bool = True
+    values_n: int = 0
+    # CSV-style type-promotion flags (string columns)
+    has_int: bool = False
+    has_float: bool = False
+    has_str: bool = False
+    unique_cap: int = DEFAULT_UNIQUE_CAP
+    topk_cap: int = DEFAULT_TOPK_CAP
+    values_cap: int = DEFAULT_VALUES_CAP
+
+    # ---------- update from one Arrow array ----------
+    def update(self, arr: pa.ChunkedArray | pa.Array) -> None:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        self.n += len(arr)
+        if self.kind == "numeric":
+            self._update_numeric(arr)
+        elif self.kind == "string":
+            self._update_string(arr)
+        elif self.kind == "timestamp":
+            self._update_timestamp(arr)
+        else:
+            self.nulls += arr.null_count
+
+    def _update_numeric(self, arr: pa.Array) -> None:
+        self.nulls += arr.null_count
+        vals = arr.drop_null().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        if len(vals) == 0:
+            return
+        n2 = len(vals)
+        mean2 = float(vals.mean())
+        m22 = float(((vals - mean2) ** 2).sum())
+        self._merge_moments(n2, mean2, m22)
+        mn, mx = float(vals.min()), float(vals.max())
+        self.min_num = mn if self.min_num is None else min(self.min_num, mn)
+        self.max_num = mx if self.max_num is None else max(self.max_num, mx)
+        self._update_distinct_and_mode(arr.drop_null())
+        self._append_values(vals)
+
+    def _update_string(self, arr: pa.Array) -> None:
+        trimmed = pc.utf8_trim_whitespace(arr)
+        blank = pc.or_kleene(pc.is_null(arr), pc.equal(trimmed, "")).fill_null(True)
+        self.nulls += pc.sum(blank.cast(pa.int64())).as_py() or 0
+        nonnull = arr.drop_null()
+        if len(nonnull):
+            mm = pc.min_max(nonnull)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            self.min_str = mn if self.min_str is None else min(self.min_str, mn)
+            self.max_str = mx if self.max_str is None else max(self.max_str, mx)
+            self._update_distinct_and_mode(nonnull)
+            self._update_type_flags(trimmed.drop_null())
+
+    def _update_timestamp(self, arr: pa.Array) -> None:
+        self.nulls += arr.null_count
+        nonnull = arr.drop_null()
+        if len(nonnull):
+            # cast to seconds first: pyarrow's %S renders fractional digits
+            iso = pc.strftime(nonnull.cast(pa.timestamp("s")), format="%Y-%m-%d %H:%M:%S")
+            mm = pc.min_max(iso)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            self.min_str = mn if self.min_str is None else min(self.min_str, mn)
+            self.max_str = mx if self.max_str is None else max(self.max_str, mx)
+            self._update_distinct_and_mode(iso)
+
+    def _update_type_flags(self, trimmed: pa.Array) -> None:
+        nonblank = trimmed.filter(pc.not_equal(trimmed, ""))
+        if not len(nonblank):
+            return
+        # evaluate regexes on distinct values only (cheap on repeated data)
+        distinct = pc.unique(nonblank)
+        is_int = pc.match_substring_regex(distinct, INT_REGEX)
+        is_float = pc.match_substring_regex(distinct, FLOAT_REGEX)
+        n_int = pc.sum(is_int.cast(pa.int64())).as_py() or 0
+        n_float = pc.sum(is_float.cast(pa.int64())).as_py() or 0
+        total = len(distinct)
+        if n_int:
+            self.has_int = True
+        if n_float > n_int:
+            self.has_float = True
+        if n_float < total:
+            self.has_str = True
+
+    def _update_distinct_and_mode(self, nonnull: pa.Array) -> None:
+        vc = pc.value_counts(nonnull)
+        vals = vc.field("values").to_pylist()
+        cnts = vc.field("counts").to_pylist()
+        if self.uniques is not None:
+            self.uniques.update(vals)
+            if len(self.uniques) > self.unique_cap:
+                self._spill_uniques_to_hll()
+        elif self.hll is not None:
+            self.hll.add_hashes(np.array([stable_hash64(str(v)) for v in vals], dtype=np.uint64))
+        if self.counts is not None:
+            c = self.counts
+            for v, k in zip(vals, cnts):
+                c[v] = c.get(v, 0) + k
+            if len(c) > self.topk_cap:
+                self._truncate_counts()
+
+    def _spill_uniques_to_hll(self) -> None:
+        self.hll = HyperLogLog()
+        self.hll.add_hashes(
+            np.array([stable_hash64(str(v)) for v in self.uniques], dtype=np.uint64)
+        )
+        self.uniques = None
+
+    def _truncate_counts(self) -> None:
+        # space-saving style: keep the heaviest topk_cap/2 entries
+        keep = sorted(self.counts.items(), key=lambda kv: (-kv[1], str(kv[0])))[: self.topk_cap // 2]
+        self.counts = dict(keep)
+        self.counts_overflow = True
+
+    def _append_values(self, vals: np.ndarray) -> None:
+        self.values.append(vals)
+        self.values_n += len(vals)
+        if self.values_n > self.values_cap:
+            self._subsample_values()
+
+    def _subsample_values(self) -> None:
+        # deterministic stride subsample of the sorted buffer → mergeable
+        # approximate quantiles with rank error ~ values_n/values_cap
+        allv = np.sort(np.concatenate(self.values))
+        stride = max(2, int(math.ceil(len(allv) / (self.values_cap // 2))))
+        self.values = [allv[:: stride]]
+        self.values_n = len(self.values[0])
+        self.values_exact = False
+
+    def _merge_moments(self, n2: int, mean2: float, m22: float) -> None:
+        if n2 == 0:
+            return
+        n1, mean1, m21 = self.num_n, self.mean, self.m2
+        n = n1 + n2
+        delta = mean2 - mean1
+        self.mean = mean1 + delta * n2 / n
+        self.m2 = m21 + m22 + delta * delta * n1 * n2 / n
+        self.num_n = n
+
+    # ---------- merge ----------
+    def merge(self, o: "ColumnPartial") -> "ColumnPartial":
+        self.n += o.n
+        self.nulls += o.nulls
+        self._merge_moments(o.num_n, o.mean, o.m2)
+        for attr, fn in (("min_num", min), ("max_num", max), ("min_str", min), ("max_str", max)):
+            a, b = getattr(self, attr), getattr(o, attr)
+            setattr(self, attr, b if a is None else (a if b is None else fn(a, b)))
+        # distincts
+        if self.uniques is not None and o.uniques is not None:
+            self.uniques |= o.uniques
+            if len(self.uniques) > self.unique_cap:
+                self._spill_uniques_to_hll()
+        else:
+            if self.uniques is not None:
+                self._spill_uniques_to_hll()
+            other_hll = o.hll
+            if o.uniques is not None:
+                other_hll = HyperLogLog()
+                other_hll.add_hashes(
+                    np.array([stable_hash64(str(v)) for v in o.uniques], dtype=np.uint64)
+                )
+            if other_hll is not None:
+                self.hll.merge(other_hll)
+        # mode
+        if self.counts is not None and o.counts is not None:
+            for v, k in o.counts.items():
+                self.counts[v] = self.counts.get(v, 0) + k
+            self.counts_overflow |= o.counts_overflow
+            if len(self.counts) > self.topk_cap:
+                self._truncate_counts()
+        # quantile values
+        self.values.extend(o.values)
+        self.values_n += o.values_n
+        self.values_exact &= o.values_exact
+        if self.values_n > self.values_cap:
+            self._subsample_values()
+        self.has_int |= o.has_int
+        self.has_float |= o.has_float
+        self.has_str |= o.has_str
+        return self
+
+    # ---------- finalize ----------
+    def finalize(self) -> dict[str, Any]:
+        out: dict[str, Any] = {
+            "column": self.name,
+            "kind": self.kind,
+            "n": self.n,
+            "nulls": self.nulls,
+            "mean": None, "std": None, "min": None, "max": None,
+            "q25": None, "q50": None, "q75": None,
+            "unique": None, "top": None, "freq": None,
+            "min_str": self.min_str, "max_str": self.max_str,
+            "inferred_type": self.inferred_type(),
+        }
+        if self.kind == "numeric" and self.num_n:
+            out["mean"] = self.mean
+            out["std"] = math.sqrt(max(0.0, self.m2 / self.num_n))
+            out["min"] = self.min_num
+            out["max"] = self.max_num
+            if self.values:
+                allv = np.sort(np.concatenate(self.values))
+                out["q25"] = _quantile_cont(allv, 0.25)
+                out["q50"] = _quantile_cont(allv, 0.50)
+                out["q75"] = _quantile_cont(allv, 0.75)
+        if self.uniques is not None:
+            out["unique"] = len(self.uniques)
+        elif self.hll is not None:
+            out["unique"] = self.hll.estimate()
+        if self.counts:
+            top_v, top_c = min(self.counts.items(), key=lambda kv: (-kv[1], str(kv[0])))
+            out["top"] = str(top_v)
+            out["freq"] = int(top_c)
+        return out
+
+    def inferred_type(self) -> str:
+        """Promotion lattice of the exact engines (simple_engine.go:262-270):
+        int iff only ints; float if only ints/floats; else string."""
+        if self.kind == "numeric":
+            return "float" if self.has_float else "int"
+        if self.has_str:
+            return "string"
+        if self.has_float:
+            return "float"
+        if self.has_int:
+            return "int"
+        return self.kind
+
+    def dumps(self) -> bytes:
+        return pickle.dumps(self)
+
+
+def _quantile_cont(sorted_vals: np.ndarray, q: float) -> float:
+    """SQL percentile_cont linear interpolation (same formula as the
+    reference's interpolator, simple_engine.go:344-364)."""
+    n = len(sorted_vals)
+    if n == 0:
+        return float("nan")
+    pos = (n - 1) * q
+    k = int(math.floor(pos))
+    f = pos - k
+    if k + 1 < n:
+        return float(sorted_vals[k] * (1 - f) + sorted_vals[k + 1] * f)
+    return float(sorted_vals[k])
+
+
+def partials_for_table(batch: pa.Table, columns: list[str] | None = None) -> dict[str, ColumnPartial]:
+    """Build per-column partials for one Arrow batch."""
+    cols = columns or batch.column_names
+    out = {}
+    for name in cols:
+        arr = batch[name]
+        p = ColumnPartial(name=name, kind=column_kind(arr.type))
+        if p.kind == "numeric":
+            p.has_int = pa.types.is_integer(arr.type)
+            p.has_float = pa.types.is_floating(arr.type)
+        p.update(arr)
+        out[name] = p
+    return out
+
+
+def merge_partial_maps(maps: list[dict[str, ColumnPartial]]) -> dict[str, ColumnPartial]:
+    if not maps:
+        return {}
+    acc = maps[0]
+    for m in maps[1:]:
+        for name, p in m.items():
+            if name in acc:
+                acc[name].merge(p)
+            else:
+                acc[name] = p
+    return acc
