@@ -1,0 +1,577 @@
+"""Driver-contract queries + DuckDB oracle SQL.
+
+Every implemented operator (SURVEY.md §2) gets a ``QUERIES`` entry
+(callable: sf_dir → result) and, where SQL-expressible, an ``ORACLES``
+twin producing the IDENTICAL table in DuckDB (same column names, same
+rounding, same tie-breaks, same RE2 regex strings). Non-SQL ops
+(langid, minhash/simhash LSH, winnowing, LSH-ANN, the image pipeline)
+are rows-only checks backed by pytest golden/property tests instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from .functions.rounding import round_half_up, sql_round
+from .pipelines import dedup as DD
+from .pipelines import relational as R
+from .pipelines import similarity as SIM
+from .pipelines import textqa as TQ
+from .pipelines.profiler import describe, null_percentage, quality_rating
+from .stages.rules import HeuristicRules, QualityConfig, finalize_decision
+from .stages.scrub import SCRUB_PATTERNS, PiiScrubber
+
+# ---------------------------------------------------------------------------
+# schema knowledge for generated oracle SQL (stable driver tables)
+# ---------------------------------------------------------------------------
+
+NUMERIC_COLS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "orders": ["o_orderkey", "o_custkey", "o_totalprice"],
+}
+TABLE_SCHEMAS = {
+    "region": {"r_regionkey": "num", "r_name": "str"},
+    "nation": {"n_nationkey": "num", "n_name": "str", "n_regionkey": "num"},
+    "customer": {"c_custkey": "num", "c_name": "str", "c_nationkey": "num",
+                 "c_acctbal": "num", "c_mktsegment": "str"},
+    "supplier": {"s_suppkey": "num", "s_name": "str", "s_nationkey": "num",
+                 "s_acctbal": "num"},
+    "orders": {"o_orderkey": "num", "o_custkey": "num", "o_orderstatus": "str",
+               "o_totalprice": "num", "o_orderdate": "ts",
+               "o_orderpriority": "str"},
+}
+STRING_COLS_CUSTOMER = ["c_name", "c_mktsegment"]
+DISTINCT_COLS_PART = ["p_brand", "p_type", "p_size"]
+
+_WS = "' ' || chr(9) || chr(10) || chr(13)"
+
+
+def _trim(col: str) -> str:
+    return f"trim({col}, {_WS})"
+
+
+def _null_expr(col: str, kind: str) -> str:
+    if kind == "str":
+        return f"({col} IS NULL OR {_trim(col)} = '')"
+    return f"{col} IS NULL"
+
+
+# ---------------------------------------------------------------------------
+# profiler queries
+# ---------------------------------------------------------------------------
+
+def q_describe_lineitem_numeric(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    t = describe(ds).to_pandas()
+    t = t[t["kind"] == "numeric"].copy()
+    out = pd.DataFrame({
+        "col_name": t["column"],
+        "n": t["n"].astype("int64"),
+        "nulls": t["nulls"].astype("int64"),
+        "mean": round_half_up(t["mean"], 6),
+        "std": round_half_up(t["std"], 6),
+        "min_v": round_half_up(t["min"], 6),
+        "max_v": round_half_up(t["max"], 6),
+        "q25": round_half_up(t["q25"], 6),
+        "q50": round_half_up(t["q50"], 6),
+        "q75": round_half_up(t["q75"], 6),
+        "unique_cnt": t["unique"].astype("int64"),
+    })
+    return out.sort_values("col_name").reset_index(drop=True)
+
+
+def sql_describe_lineitem_numeric() -> str:
+    parts = []
+    for c in NUMERIC_COLS["lineitem"]:
+        parts.append(f"""SELECT '{c}' AS col_name,
+ count(*)::BIGINT AS n,
+ (count(*) - count({c}))::BIGINT AS nulls,
+ {sql_round(f'avg({c})', 6)} AS mean,
+ {sql_round(f'stddev_pop({c})', 6)} AS std,
+ {sql_round(f'min({c})::DOUBLE', 6)} AS min_v,
+ {sql_round(f'max({c})::DOUBLE', 6)} AS max_v,
+ {sql_round(f'percentile_cont(0.25) WITHIN GROUP (ORDER BY {c})::DOUBLE', 6)} AS q25,
+ {sql_round(f'percentile_cont(0.50) WITHIN GROUP (ORDER BY {c})::DOUBLE', 6)} AS q50,
+ {sql_round(f'percentile_cont(0.75) WITHIN GROUP (ORDER BY {c})::DOUBLE', 6)} AS q75,
+ count(DISTINCT {c})::BIGINT AS unique_cnt
+FROM lineitem""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
+
+
+def q_describe_customer_strings(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet")
+    t = describe(ds).to_pandas().set_index("column")
+    rows = []
+    for c in STRING_COLS_CUSTOMER:
+        r = t.loc[c]
+        rows.append({
+            "col_name": c,
+            "n": int(r["n"]),
+            "nulls": int(r["nulls"]),
+            "unique_cnt": int(r["unique"]),
+            "top": r["top"],
+            "freq": int(r["freq"]),
+            "min_str": r["min_str"],
+            "max_str": r["max_str"],
+        })
+    return pd.DataFrame(rows).sort_values("col_name").reset_index(drop=True)
+
+
+def sql_describe_customer_strings() -> str:
+    parts = []
+    for c in STRING_COLS_CUSTOMER:
+        parts.append(f"""SELECT '{c}' AS col_name,
+ count(*)::BIGINT AS n,
+ (count(*) FILTER (WHERE {_null_expr(c, 'str')}))::BIGINT AS nulls,
+ count(DISTINCT {c})::BIGINT AS unique_cnt,
+ (SELECT {c} FROM customer WHERE {c} IS NOT NULL
+    GROUP BY {c} ORDER BY count(*) DESC, {c} LIMIT 1) AS top,
+ (SELECT count(*) FROM customer WHERE {c} = (SELECT {c} FROM customer
+    WHERE {c} IS NOT NULL GROUP BY {c} ORDER BY count(*) DESC, {c} LIMIT 1)
+ )::BIGINT AS freq,
+ min({c}) AS min_str,
+ max({c}) AS max_str
+FROM customer""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
+
+
+def q_null_rate_orders(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet")
+    t = describe(ds).to_pandas()
+    out = pd.DataFrame({
+        "col_name": t["column"],
+        "nulls": t["nulls"].astype("int64"),
+        "null_frac": round_half_up(t["nulls"] / t["n"], 6),
+    })
+    return out.sort_values("col_name").reset_index(drop=True)
+
+
+def sql_null_rate_orders() -> str:
+    parts = []
+    for c, kind in TABLE_SCHEMAS["orders"].items():
+        ne = _null_expr(c, kind)
+        parts.append(
+            f"SELECT '{c}' AS col_name, "
+            f"(count(*) FILTER (WHERE {ne}))::BIGINT AS nulls, "
+            f"{sql_round(f'(count(*) FILTER (WHERE {ne}))::DOUBLE / count(*)', 6)} AS null_frac "
+            f"FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
+
+
+def q_distinct_part(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=DISTINCT_COLS_PART)
+    t = describe(ds).to_pandas().set_index("column")
+    rows = [{"col_name": c, "unique_cnt": int(t.loc[c]["unique"])}
+            for c in DISTINCT_COLS_PART]
+    return pd.DataFrame(rows).sort_values("col_name").reset_index(drop=True)
+
+
+def sql_distinct_part() -> str:
+    parts = [
+        f"SELECT '{c}' AS col_name, count(DISTINCT {c})::BIGINT AS unique_cnt FROM part"
+        for c in DISTINCT_COLS_PART
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
+
+
+def q_top_freq_nation(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_regionkey"])
+    t = describe(ds).to_pandas().set_index("column")
+    r = t.loc["n_regionkey"]
+    return pd.DataFrame([{"top": str(r["top"]), "freq": int(r["freq"])}])
+
+
+def sql_top_freq_nation() -> str:
+    return """SELECT n_regionkey::VARCHAR AS top, count(*)::BIGINT AS freq
+FROM nation GROUP BY n_regionkey
+ORDER BY freq DESC, n_regionkey LIMIT 1"""
+
+
+def q_rollup_quality(sf_dir: str) -> pd.DataFrame:
+    rows = []
+    for tbl in ["region", "nation", "customer", "supplier"]:
+        ds = rd.read_parquet(f"{sf_dir}/{tbl}.parquet")
+        stats = describe(ds)
+        np_ = null_percentage(stats)
+        rows.append({
+            "table_name": tbl,
+            "n_rows": int(stats["n"][0].as_py()) if stats.num_rows else 0,
+            "n_cols": int(stats.num_rows),
+            "null_pct": float(round_half_up(np_, 6)),
+            "rating": quality_rating(np_),
+        })
+    return pd.DataFrame(rows).sort_values("table_name").reset_index(drop=True)
+
+
+def sql_rollup_quality() -> str:
+    parts = []
+    for tbl in ["region", "nation", "customer", "supplier"]:
+        schema = TABLE_SCHEMAS[tbl]
+        ncols = len(schema)
+        null_sum = " + ".join(
+            f"count(*) FILTER (WHERE {_null_expr(c, k)})" for c, k in schema.items()
+        )
+        pct = sql_round(f"({null_sum})::DOUBLE / (count(*) * {ncols}) * 100", 6)
+        parts.append(f"""SELECT '{tbl}' AS table_name,
+ count(*)::BIGINT AS n_rows, {ncols}::BIGINT AS n_cols,
+ {pct} AS null_pct,
+ CASE WHEN {pct} <= 10.0 THEN 'Good'
+      WHEN {pct} <= 25.0 THEN 'Fair' ELSE 'Poor' END AS rating
+FROM {tbl}""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY table_name"
+
+
+# ---------------------------------------------------------------------------
+# relational showcase
+# ---------------------------------------------------------------------------
+
+SQL_Q1 = f"""SELECT l_returnflag, l_linestatus,
+ {sql_round('sum(l_quantity)', 2)} AS sum_qty,
+ {sql_round('sum(l_extendedprice)', 2)} AS sum_base_price,
+ {sql_round('sum(l_extendedprice * (1 - l_discount))', 2)} AS sum_disc_price,
+ {sql_round('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))', 2)} AS sum_charge,
+ {sql_round('avg(l_quantity)', 6)} AS avg_qty,
+ {sql_round('avg(l_extendedprice)', 6)} AS avg_price,
+ {sql_round('avg(l_discount)', 6)} AS avg_disc,
+ count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+SQL_REVENUE_SEGMENT = f"""SELECT c.c_mktsegment,
+ {sql_round('sum(o.o_totalprice)', 2)} AS revenue,
+ count(*)::BIGINT AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""
+
+SQL_EVENTS_HOURLY = f"""SELECT event_type, date_trunc('hour', ts) AS window_start,
+ count(*)::BIGINT AS n, {sql_round('avg(value)', 6)} AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY event_type, window_start"""
+
+SQL_TOP_USERS = f"""SELECT user_id, {sql_round('sum(value)', 6)} AS total_value_r,
+ count(*)::BIGINT AS n_events
+FROM events GROUP BY user_id
+ORDER BY total_value_r DESC, user_id LIMIT 10"""
+
+SQL_DUP_EVENTS = """SELECT user_id, event_type, count(*)::BIGINT AS cnt
+FROM events GROUP BY user_id, event_type HAVING count(*) > 1
+ORDER BY user_id, event_type"""
+
+
+# ---------------------------------------------------------------------------
+# text ops over documents
+# ---------------------------------------------------------------------------
+
+TOKEN_REGEX_SQL = r"[A-Za-z0-9_']+|[^\sA-Za-z0-9_']"
+STOPWORD_PAT = None  # built below from the shared list
+
+
+def _stopword_pattern() -> str:
+    from .functions.text import STOPWORDS
+    return r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+
+def q_docs_token_stats(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    df = TQ.token_stats(ds).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_docs_token_stats() -> str:
+    sp = _stopword_pattern()
+    return f"""SELECT doc_id,
+ length(text)::BIGINT AS n_chars,
+ length(regexp_extract_all({_trim('text')}, '\\S+'))::BIGINT AS n_tokens_ws,
+ length(regexp_extract_all(text, '{TOKEN_REGEX_SQL.replace(chr(39), chr(39)*2)}'))::BIGINT AS n_tokens_bpe,
+ length(regexp_extract_all(lower(text), '{sp}'))::BIGINT AS n_stopwords,
+ length(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits,
+ length(regexp_extract_all(text, '[^\\sA-Za-z0-9]'))::BIGINT AS n_punct
+FROM documents ORDER BY doc_id"""
+
+
+def q_docs_quality_scores(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    df = TQ.quality_scores(ds).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_docs_quality_scores() -> str:
+    sp = _stopword_pattern()
+    score = (
+        f"0.4 * least(length(regexp_extract_all({_trim('text')}, '\\S+'))::DOUBLE / 20.0, 1.0)"
+        f" + 0.3 * (1.0 - length(regexp_extract_all(text, '[^\\sA-Za-z0-9]'))::DOUBLE"
+        f" / greatest(length(text)::DOUBLE, 1.0))"
+        f" + 0.3 * least(5.0 * length(regexp_extract_all(lower(text), '{sp}'))::DOUBLE"
+        f" / greatest(length(regexp_extract_all({_trim('text')}, '\\S+'))::DOUBLE, 1.0), 1.0)"
+    )
+    return (f"SELECT doc_id, {sql_round(score, 6)} AS quality_score"
+            f" FROM documents ORDER BY doc_id")
+
+
+def q_docs_rules(sf_dir: str) -> pd.DataFrame:
+    cfg = QualityConfig(caption_col="text", check_fmt=False)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(HeuristicRules(cfg), batch_format="pyarrow",
+                       batch_size=8192)
+        .map_batches(finalize_decision, batch_format="pyarrow", batch_size=8192)
+        .select_columns(["doc_id", "keep", "drop_reason"])
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_docs_rules() -> str:
+    t = _trim("text")
+    alpha = f"length(regexp_replace({t}, '[^A-Za-z]', '', 'g'))::DOUBLE"
+    digit = f"length(regexp_replace({t}, '[^0-9]', '', 'g'))::DOUBLE"
+    ln = f"length({t})::DOUBLE"
+    return f"""SELECT doc_id, (drop_reason IS NULL) AS keep, drop_reason FROM (
+SELECT doc_id,
+ CASE WHEN {_null_expr('text', 'str')} THEN 'null_blank'
+      WHEN length({t}) < 3 OR length({t}) > 1024 THEN 'length_bounds'
+      WHEN {alpha} / greatest({ln}, 1.0) < 0.5
+        OR {digit} / greatest({ln}, 1.0) > 0.5 THEN 'char_class'
+      ELSE NULL END AS drop_reason
+FROM documents) ORDER BY doc_id"""
+
+
+def q_docs_scrubbed(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(
+        PiiScrubber(text_col="text", out_col="text_scrubbed"),
+        batch_format="pyarrow", batch_size=8192,
+    ).select_columns(["doc_id", "text_scrubbed", "pii_hits"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_docs_scrubbed() -> str:
+    ctes = ["s0 AS (SELECT doc_id, text AS t FROM documents)"]
+    hits = []
+    for i, (_, pat, repl) in enumerate(SCRUB_PATTERNS, start=1):
+        p = pat.replace("'", "''")
+        hits.append(f"h{i}")
+        ctes.append(
+            f"s{i} AS (SELECT doc_id, regexp_replace(t, '{p}', '{repl}', 'g') AS t,"
+            f" {', '.join(f'h{j}' for j in range(1, i))}{',' if i > 1 else ''}"
+            f" length(regexp_extract_all(t, '{p}'))::BIGINT AS h{i} FROM s{i-1})"
+        )
+    last = f"s{len(SCRUB_PATTERNS)}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, t AS text_scrubbed, ({' + '.join(hits)})::BIGINT AS pii_hits"
+          f" FROM {last} ORDER BY doc_id"
+    )
+
+
+def q_docs_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = DD.exact_dedup_by_text(ds, "text", "doc_id")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOCS_EXACT_DEDUP = """SELECT min(doc_id)::BIGINT AS doc_id
+FROM documents GROUP BY text ORDER BY doc_id"""
+
+
+def q_docs_fingerprints(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    df = TQ.fingerprints(ds).to_pandas()[["doc_id", "md5_fp"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_docs_fingerprints() -> str:
+    return (f"SELECT doc_id, md5(lower({_trim('text')})) AS md5_fp "
+            f"FROM documents ORDER BY doc_id")
+
+
+# ---------------------------------------------------------------------------
+# embeddings: ANN + near-dup
+# ---------------------------------------------------------------------------
+
+ANN_K = 5
+ANN_NQ = 10
+EMB_DUP_THRESHOLD = 0.35
+
+
+def q_ann_topk(sf_dir: str) -> pd.DataFrame:
+    Q, qids = SIM.load_query_vectors(sf_dir, ANN_NQ)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # retrieve k+5 on raw scores, then round → re-rank → cut to k so the
+    # ranking matches the oracle (which ranks by the rounded score).
+    res = SIM.brute_force_topk(ds, Q, qids, ANN_K + 5).to_pandas()
+    res["score"] = res["score"].round(6)
+    res = res.sort_values(["query_id", "score", "vec_id"],
+                          ascending=[True, False, True])
+    res["rank"] = res.groupby("query_id").cumcount() + 1
+    res = res[res["rank"] <= ANN_K].reset_index(drop=True)
+    res["rank"] = res["rank"].astype("int64")
+    return res[["query_id", "vec_id", "score", "rank"]]
+
+
+def sql_ann_topk() -> str:
+    return f"""WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings ORDER BY vec_id LIMIT {ANN_NQ}),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS score
+  FROM q CROSS JOIN embeddings e)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, vec_id) AS rank FROM s)
+WHERE rank <= {ANN_K} ORDER BY query_id, rank"""
+
+
+def q_embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = DD.embedding_dup_pairs_bruteforce(
+        ds, "embedding", "vec_id", EMB_DUP_THRESHOLD).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def sql_embedding_dup_pairs() -> str:
+    return f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+ round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {EMB_DUP_THRESHOLD}
+ORDER BY id_a, id_b"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible; verified by pytest instead)
+# ---------------------------------------------------------------------------
+
+def q_docs_langid(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    import pyarrow.compute as _pc
+
+    def _mod5(t):
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(_pc.equal(pa_mod(ids), 0))
+
+    def pa_mod(ids):
+        import pyarrow as _pa
+        return _pa.array(ids % 5)
+
+    train = ds.map_batches(_mod5, batch_format="pyarrow", batch_size=8192)
+    model = TQ.train_langid_on_dataset(train, "text", "lang")
+    out = TQ.classify_language(ds, model)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_docs_minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    pairs = DD.minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
+    return pairs.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_docs_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    pairs = DD.simhash_pairs(ds, "text", "doc_id", max_hamming=3)
+    return pairs.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_ann_topk_lsh(sf_dir: str) -> pd.DataFrame:
+    Q, qids = SIM.load_query_vectors(sf_dir, ANN_NQ)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    res = SIM.lsh_topk(ds, Q, qids, ANN_K, dim=Q.shape[1]).to_pandas()
+    res["score"] = res["score"].round(6)
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def q_images_quality(sf_dir: str) -> pd.DataFrame:
+    """Flagship image+caption pipeline on the deterministic fixture
+    (size keyed to sf so sf0.1 exercises more rows)."""
+    from .fixtures.images import generate_images_parquet
+    from .pipelines.quality import images_quality_pipeline
+
+    n = 20000 if "0.1" in sf_dir.rstrip("/").rsplit("sf", 1)[-1] else 2000
+    path = generate_images_parquet(n, use_ray=n > 20000)
+    out = images_quality_pipeline(path)
+    return out.to_pandas().sort_values("image_id").reset_index(drop=True)
+
+
+def q_images_describe(sf_dir: str) -> pd.DataFrame:
+    from .fixtures.images import generate_images_parquet
+
+    path = generate_images_parquet(2000, use_ray=False)
+    ds = rd.read_parquet(path, columns=["w", "h", "fmt", "caption", "phash"])
+    return describe(ds).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def build_queries() -> dict:
+    return {
+        # profiler (reference describe semantics, A1-A9)
+        "describe_lineitem_numeric": q_describe_lineitem_numeric,
+        "describe_customer_strings": q_describe_customer_strings,
+        "null_rate_orders": q_null_rate_orders,
+        "distinct_part": q_distinct_part,
+        "top_freq_nation": q_top_freq_nation,
+        "rollup_quality": q_rollup_quality,
+        # relational / wide ops
+        "q1_pricing_summary": lambda d: R.q1_pricing_summary(d),
+        "revenue_by_segment": lambda d: R.revenue_by_segment(d),
+        "events_hourly": lambda d: R.events_hourly(d),
+        "top_users_by_value": lambda d: R.top_users_by_value(d),
+        "dup_event_groups": lambda d: R.dup_event_groups(d),
+        # text analysis
+        "docs_token_stats": q_docs_token_stats,
+        "docs_quality_scores": q_docs_quality_scores,
+        "docs_rules": q_docs_rules,
+        "docs_scrubbed": q_docs_scrubbed,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_fingerprints": q_docs_fingerprints,
+        # embeddings
+        "ann_topk": q_ann_topk,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        # rows-only (non-SQL-expressible)
+        "docs_langid": q_docs_langid,
+        "docs_minhash_pairs": q_docs_minhash_pairs,
+        "docs_simhash_pairs": q_docs_simhash_pairs,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "images_quality": q_images_quality,
+        "images_describe": q_images_describe,
+    }
+
+
+def build_oracles() -> dict:
+    return {
+        "describe_lineitem_numeric": sql_describe_lineitem_numeric(),
+        "describe_customer_strings": sql_describe_customer_strings(),
+        "null_rate_orders": sql_null_rate_orders(),
+        "distinct_part": sql_distinct_part(),
+        "top_freq_nation": sql_top_freq_nation(),
+        "rollup_quality": sql_rollup_quality(),
+        "q1_pricing_summary": SQL_Q1,
+        "revenue_by_segment": SQL_REVENUE_SEGMENT,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "top_users_by_value": SQL_TOP_USERS,
+        "dup_event_groups": SQL_DUP_EVENTS,
+        "docs_token_stats": sql_docs_token_stats(),
+        "docs_quality_scores": sql_docs_quality_scores(),
+        "docs_rules": sql_docs_rules(),
+        "docs_scrubbed": sql_docs_scrubbed(),
+        "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
+        "docs_fingerprints": sql_docs_fingerprints(),
+        "ann_topk": sql_ann_topk(),
+        "embedding_dup_pairs": sql_embedding_dup_pairs(),
+    }

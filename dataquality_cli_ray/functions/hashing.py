@@ -108,7 +108,8 @@ def simhash64(shingles: np.ndarray) -> int:
     for i in range(64):
         if votes[i] > 0:
             out |= np.uint64(1) << np.uint64(i)
-    return int(out)
+    # two's-complement int64 so the value fits Arrow int64 columns
+    return int(np.array([out], dtype=np.uint64).view(np.int64)[0])
 
 
 def hamming64(a: np.ndarray, b: np.ndarray | int) -> np.ndarray:

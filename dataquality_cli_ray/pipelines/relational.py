@@ -1,0 +1,160 @@
+"""Relational showcase pipelines over the TPC-H-ish tables: grouped
+aggregation with per-batch combiners, broadcast join, tumbling-window
+aggregation, grouped top-k. These exercise the wide-operator patterns
+(SURVEY.md §2.4-2.6) in their Ray-native form:
+
+- aggregations pre-combine inside map_batches where it shrinks the
+  shuffle (A10 pattern),
+- the small join side is broadcast via ``ray.put`` (a dict lookup per
+  batch), never shuffled (§2.4: the only join-like op the engine needs),
+- windows are a computed column + groupby (streaming-shaped semantics,
+  ray_guide: no event-time watermarks needed for batch windows),
+- top-k = groupby-aggregate then a driver-side sort of the tiny result.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Mean, Sum
+
+from ..functions.rounding import round_half_up
+
+
+def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> pd.DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem (the flagship
+    profiling aggregate: per-group sums/means/counts)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+    )
+
+    cutoff_ts = pa.scalar(np.datetime64(cutoff, "us"), type=pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff_ts))
+        disc_price = pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t["l_tax"]))
+        t = t.append_column("disc_price", disc_price)
+        return t.append_column("charge", charge)
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536,
+                       zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("charge", alias_name="sum_charge"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_extendedprice", alias_name="avg_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+    df = agg.to_pandas()
+    # money-scale sums at 2 dp (accumulation-order noise ~1e-6 at this
+    # magnitude), unit-scale avgs at 6 dp — mirrored in the oracle SQL
+    for c in ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"]:
+        df[c] = round_half_up(df[c], 2)
+    for c in ["avg_qty", "avg_price", "avg_disc"]:
+        df[c] = round_half_up(df[c], 6)
+    df["count_order"] = df["count_order"].astype("int64")
+    return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def revenue_by_segment(sf_dir: str) -> pd.DataFrame:
+    """orders ⋈ customer broadcast join → total revenue per market
+    segment. The dimension side ships once via ray.put; the fact side
+    streams through a vectorized dict lookup."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_map = dict(zip(cust["c_custkey"].to_pylist(),
+                       cust["c_mktsegment"].to_pylist()))
+    ref = ray.put(seg_map)
+
+    class AddSegment:
+        def __init__(self):
+            self.seg = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch["o_custkey"].to_pylist()
+            segs = [self.seg.get(k) for k in keys]
+            return batch.append_column("c_mktsegment",
+                                       pa.array(segs, type=pa.string()))
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+    agg = (
+        ds.map_batches(AddSegment, batch_format="pyarrow", batch_size=65536,
+                       concurrency=(1, 4))
+        .groupby("c_mktsegment")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"),
+                   Count(alias_name="n_orders"))
+    )
+    df = agg.to_pandas()
+    df["revenue"] = round_half_up(df["revenue"], 2)
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour window per event_type: count + avg(value).
+    Window = truncated-timestamp column + groupby (batch-windowing,
+    order-insensitive)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t["ts"], unit="hour")
+        return t.append_column("window_start", w)
+
+    agg = (
+        ds.map_batches(add_window, batch_format="pyarrow", batch_size=65536,
+                       zero_copy_batch=True)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"),
+                   Mean("value", alias_name="avg_value"))
+    )
+    df = agg.to_pandas()
+    df["avg_value"] = round_half_up(df["avg_value"], 6)
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+def top_users_by_value(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Grouped top-k: total event value per user, top k users
+    (deterministic tie-break: value desc, user_id asc)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "value"])
+    agg = ds.groupby("user_id").aggregate(
+        Sum("value", alias_name="total_value"), Count(alias_name="n_events"))
+    df = agg.to_pandas()
+    df["total_value_r"] = round_half_up(df["total_value"], 6)
+    df = df.sort_values(["total_value_r", "user_id"],
+                        ascending=[False, True]).head(k)
+    df = df.drop(columns=["total_value"]).reset_index(drop=True)
+    df["n_events"] = df["n_events"].astype("int64")
+    return df[["user_id", "total_value_r", "n_events"]]
+
+
+def dup_event_groups(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-group counts over events by (user_id, event_type) —
+    the phash-dup shape on a driver-provided table (A10)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    agg = ds.groupby(["user_id", "event_type"]).aggregate(Count(alias_name="cnt"))
+    df = agg.to_pandas()
+    df["cnt"] = df["cnt"].astype("int64")
+    df = df[df["cnt"] > 1].reset_index(drop=True)
+    return df.sort_values(["user_id", "event_type"]).reset_index(drop=True)

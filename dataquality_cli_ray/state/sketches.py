@@ -168,7 +168,10 @@ class ColumnPartial:
 
     def _update_numeric(self, arr: pa.Array) -> None:
         self.nulls += arr.null_count
-        vals = arr.drop_null().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        # safe=False: int64 values beyond float64's exact-integer range
+        # (e.g. 64-bit hashes) degrade to nearest-double, as SQL avg() does
+        vals = pc.cast(arr.drop_null(), pa.float64(), safe=False).to_numpy(
+            zero_copy_only=False)
         if len(vals) == 0:
             return
         n2 = len(vals)
