@@ -16,16 +16,22 @@ def entry() -> Any:
     import ray.data as rd
 
     from dataquality_cli_ray.pipelines.quality import quality_pipeline
-    from dataquality_cli_ray.pipelines.dedup import exact_dup_groups
+    from dataquality_cli_ray.pipelines.textqa import train_langid_on_dataset
+    from dataquality_cli_ray.stages.perplexity import train_char_lm
     from dataquality_cli_ray.stages.rules import QualityConfig
 
     sf_dir = "/root/testdata/sf0.001"
     cfg = QualityConfig(caption_col="text", check_fmt=False,
                         dedup_key="text_hash", id_col="doc_id")
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    out = quality_pipeline(ds, dup_map=None, cfg=cfg, decode=False,
-                           select_output=False)
+    full = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    # models trained on the corpus itself (distributed partial counts)
+    langid_model = train_langid_on_dataset(full, "text", "lang")
+    sample = [r["text"] for r in full.take(200)]
+    ppl_model = train_char_lm(sample)
+    ds = full.select_columns(["doc_id", "text"])
+    out = quality_pipeline(ds, dup_map=None, cfg=cfg,
+                           langid_model=langid_model, ppl_model=ppl_model,
+                           decode=False, select_output=False)
     return out.select_columns(
         ["doc_id", "keep", "drop_reason", "caption_scrubbed",
          "lang_pred", "lang_score", "ppl", "pii_hits"]

@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Headline: the flagship image+caption quality-filter pipeline
+(heuristic rules → decode → langid → perplexity → scrub → phash dedup)
+over the deterministic synthetic fixture; plus representative per-query
+timings over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "images_per_sec": ...}
+
+``--scaling``: runs the headline twice in fresh processes at
+num_cpus=8 and 32 on the SAME input and reports both throughputs and
+efficiency = (T8/T32)/4 (the sandbox stand-in for N→4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+import warnings
+
+warnings.filterwarnings("ignore")
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _bench_rows() -> int:
+    if "IMAGES_BENCH_ROWS" in os.environ:
+        return int(os.environ["IMAGES_BENCH_ROWS"])
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    return {"0.1": 100_000, "0.01": 20_000}.get(sf, 5_000)
+
+
+def run_benchmarks() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+
+    from dataquality_cli_ray.fixtures.images import generate_images_parquet
+    from dataquality_cli_ray.pipelines import relational as R
+    from dataquality_cli_ray.pipelines import dedup as DD
+    from dataquality_cli_ray.pipelines import similarity as SIM
+    from dataquality_cli_ray.pipelines import textqa as TQ
+    from dataquality_cli_ray.pipelines.profiler import describe
+    from dataquality_cli_ray.pipelines.quality import (
+        build_models,
+        images_quality_pipeline,
+    )
+
+    n_rows = _bench_rows()
+    img_path = generate_images_parquet(n_rows)   # cached across runs
+
+    # warm OS page cache (untimed) so we measure compute, not cold disk
+    rd.read_parquet(img_path, columns=["image_id"]).count()
+    langid_model, ppl_model = build_models()
+
+    queries: dict[str, float] = {}
+
+    # ---- headline: flagship quality pipeline ----
+    t0 = time.time()
+    out = images_quality_pipeline(img_path, langid_model=langid_model,
+                                  ppl_model=ppl_model)
+    n_out = out.count()
+    headline = time.time() - t0
+    assert n_out == n_rows, (n_out, n_rows)
+    queries["images_quality"] = round(headline, 3)
+
+    # ---- representative per-query timings over SF_DIR ----
+    def timed(name, fn):
+        t = time.time()
+        fn()
+        queries[name] = round(time.time() - t, 3)
+
+    timed("q1_pricing_summary", lambda: R.q1_pricing_summary(SF_DIR))
+    timed("describe_lineitem",
+          lambda: describe(rd.read_parquet(f"{SF_DIR}/lineitem.parquet")))
+    timed("revenue_by_segment", lambda: R.revenue_by_segment(SF_DIR))
+    timed("events_hourly", lambda: R.events_hourly(SF_DIR))
+    timed("docs_dedup_exact", lambda: DD.exact_dedup_by_text(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                        columns=["doc_id", "text"]), "text", "doc_id").count())
+    timed("docs_minhash_pairs", lambda: DD.minhash_lsh_pairs(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        "text", "doc_id", threshold=0.5).count())
+    timed("docs_token_stats", lambda: TQ.token_stats(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet")).count())
+
+    def _ann():
+        Q, qids = SIM.load_query_vectors(SF_DIR, 10)
+        SIM.brute_force_topk(
+            rd.read_parquet(f"{SF_DIR}/embeddings.parquet"), Q, qids, 5
+        ).count()
+
+    timed("ann_topk", _ann)
+
+    ray.shutdown()
+    return {
+        "metric": "images_quality_pipeline_wall_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "images_bench_rows": n_rows,
+        "images_per_sec": round(n_rows / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same headline job at num_cpus=8 and 32 in fresh processes."""
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "images_per_sec_8": lo["images_per_sec"],
+        "images_per_sec_32": hi["images_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "images_bench_rows": lo["images_bench_rows"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_benchmarks()))

@@ -1,0 +1,183 @@
+"""CLI — the reference's product surface (``dataqa describe``,
+``cmd/describe.go``) plus the flagship quality-filter runner.
+
+Usage:
+    python -m dataquality_cli_ray describe PATH [--recursive]
+        [--output FILE] [--num-cpus N]
+    python -m dataquality_cli_ray quality --input PARQUET_DIR
+        --output OUT_DIR [--shard-size N] [--num-cpus N]
+
+The CLI owns the Ray session (guarded init per the driver contract);
+library code never calls ray.init.
+
+Report layout mirrors the reference renderer: summary →
+per-file/table section → detailed per-column stats
+(``cmd/describe.go:306-473``); the per-file quality rating uses the
+reference thresholds Good ≤10 % / Fair ≤25 % / Poor
+(``cmd/describe.go:393-401``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=num_cpus or os.cpu_count(),
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def _fmt(v, nd=6):
+    if v is None:
+        return "-"
+    if isinstance(v, float):
+        return f"{v:.6g}"     # reference renders %.6g (simple_engine.go:297-301)
+    return str(v)
+
+
+def render_describe(name: str, stats, elapsed: float) -> str:
+    from .pipelines.profiler import null_percentage, quality_rating
+
+    np_ = null_percentage(stats)
+    lines = [
+        "=" * 72,
+        f"DATA QUALITY REPORT — {name}",
+        "=" * 72,
+        f"rows: {stats['n'][0].as_py() if stats.num_rows else 0}"
+        f"   columns: {stats.num_rows}"
+        f"   null%: {np_:.2f}   rating: {quality_rating(np_)}"
+        f"   elapsed: {elapsed:.3f}s",
+        "-" * 72,
+        f"{'column':<22}{'type':<10}{'count':>9}{'nulls':>7}"
+        f"{'mean':>12}{'std':>12}{'min':>12}{'max':>12}{'unique':>8}",
+    ]
+    for i in range(stats.num_rows):
+        r = {c: stats[c][i].as_py() for c in stats.column_names}
+        mn = r["min"] if r["min"] is not None else r["min_str"]
+        mx = r["max"] if r["max"] is not None else r["max_str"]
+        lines.append(
+            f"{r['column']:<22}{r['inferred_type']:<10}"
+            f"{r['n'] - r['nulls']:>9}{r['nulls']:>7}"
+            f"{_fmt(r['mean']):>12}{_fmt(r['std']):>12}"
+            f"{_fmt(mn)[:11]:>12}{_fmt(mx)[:11]:>12}"
+            f"{_fmt(r['unique']):>8}"
+        )
+    return "\n".join(lines)
+
+
+def cmd_describe(args) -> int:
+    _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .pipelines.profiler import describe
+    from .sources.readers import DiscoveryOptions, discover_files, read_csv_auto
+
+    t0 = time.time()
+    reports = []
+    path = args.path
+    opts = DiscoveryOptions(recursive=args.recursive)
+    if os.path.isdir(path):
+        try:
+            files = [f["path"] for f in discover_files(path, "parquet", opts)]
+        except FileNotFoundError:
+            files = []
+        if files:
+            for f in sorted(files):
+                s = time.time()
+                stats = describe(rd.read_parquet(f))
+                reports.append(render_describe(os.path.basename(f), stats,
+                                               time.time() - s))
+        else:
+            csvs = discover_files(path, "csv")
+            for f in [c["path"] for c in csvs]:
+                s = time.time()
+                stats = describe(read_csv_auto(f))
+                reports.append(render_describe(os.path.basename(f), stats,
+                                               time.time() - s))
+    else:
+        reader = read_csv_auto if path.lower().endswith(".csv") else rd.read_parquet
+        stats = describe(reader(path))
+        reports.append(render_describe(os.path.basename(path), stats,
+                                       time.time() - t0))
+    out = "\n\n".join(reports) + f"\n\nTotal elapsed: {time.time()-t0:.3f}s\n"
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(out)
+    else:
+        sys.stdout.write(out)
+    return 0
+
+
+def cmd_quality(args) -> int:
+    _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .pipelines.quality import build_models, quality_pipeline, phash_dup_losers
+    from .state.checkpoint import drop_reason_lineage, run_resumable
+    from .stages.rules import QualityConfig
+
+    files = sorted(
+        os.path.join(args.input, f) for f in os.listdir(args.input)
+        if f.endswith(".parquet")
+    )
+    if not files:
+        print("no parquet inputs found", file=sys.stderr)
+        return 2
+    cfg = QualityConfig()
+    langid_model, ppl_model = build_models()
+    dup_map = phash_dup_losers(
+        rd.read_parquet(files, columns=[cfg.dedup_key, cfg.id_col]))
+
+    def pipeline(shard_files):
+        return quality_pipeline(rd.read_parquet(shard_files), dup_map, cfg,
+                                langid_model=langid_model,
+                                ppl_model=ppl_model)
+
+    res = run_resumable(files, args.output, pipeline,
+                        shard_size=args.shard_size,
+                        lineage_fn=drop_reason_lineage)
+    print(res)
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="dataquality_cli_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("describe", help="profile csv/parquet file or dir")
+    d.add_argument("path")
+    d.add_argument("--recursive", action="store_true")
+    d.add_argument("--output")
+    d.add_argument("--num-cpus", type=int, default=None)
+    d.set_defaults(fn=cmd_describe)
+
+    q = sub.add_parser("quality", help="run the quality-filter pipeline")
+    q.add_argument("--input", required=True)
+    q.add_argument("--output", required=True)
+    q.add_argument("--shard-size", type=int, default=16)
+    q.add_argument("--num-cpus", type=int, default=None)
+    q.set_defaults(fn=cmd_quality)
+
+    args = ap.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,114 @@
+"""Checkpoint/resume semantics + source utilities."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dataquality_cli_ray.sources.readers import (
+    DiscoveryOptions,
+    detect_delimiter,
+    discover_files,
+    read_csv_auto,
+    validate_utf8,
+)
+from dataquality_cli_ray.state.checkpoint import (
+    completed_shards,
+    drop_reason_lineage,
+    run_resumable,
+    shard_files,
+)
+
+
+@pytest.fixture()
+def input_files(tmp_path):
+    files = []
+    for i in range(6):
+        p = tmp_path / f"in_{i}.parquet"
+        pq.write_table(pa.table({
+            "x": np.arange(10) + i * 10,
+            "drop_reason": ([None] * 8 + ["null_blank", "char_class"]),
+        }), p)
+        files.append(str(p))
+    return files
+
+
+def _identity_pipeline(files):
+    import ray.data as rd
+    return rd.read_parquet(files)
+
+
+def test_run_resumable_and_skip(ray_session, input_files, tmp_path):
+    out_root = str(tmp_path / "out")
+    r1 = run_resumable(input_files, out_root, _identity_pipeline,
+                       shard_size=2, lineage_fn=drop_reason_lineage)
+    assert r1["shards_total"] == 3 and r1["shards_run"] == 3
+    assert completed_shards(out_root) == {0, 1, 2}
+    # manifests carry fragments + counters
+    m = json.load(open(r1["manifests"][0]))
+    assert m["rows_out"] == 20 and len(m["input_fragments"]) == 2
+    assert m["lineage"]["KEEP"] == 16 and m["lineage"]["null_blank"] == 2
+    # rerun: everything skipped
+    r2 = run_resumable(input_files, out_root, _identity_pipeline,
+                       shard_size=2, lineage_fn=drop_reason_lineage)
+    assert r2["shards_run"] == 0 and r2["shards_skipped"] == 3
+
+
+def test_resume_after_partial_failure(ray_session, input_files, tmp_path):
+    out_root = str(tmp_path / "out2")
+    run_resumable(input_files, out_root, _identity_pipeline, shard_size=2)
+    # simulate a crash that left shard 1 half-written (no manifest)
+    os.remove(os.path.join(out_root, "shard=1", "manifest.json"))
+    r = run_resumable(input_files, out_root, _identity_pipeline, shard_size=2)
+    assert r["shards_run"] == 1 and r["shards_skipped"] == 2
+    assert completed_shards(out_root) == {0, 1, 2}
+
+
+def test_shard_files_deterministic():
+    fs = [f"f{i}" for i in range(7)]
+    shards = shard_files(list(reversed(fs)), 3)
+    assert shards[0] == ["f0", "f1", "f2"] and shards[2] == ["f6"]
+
+
+def test_discover_files(tmp_path):
+    (tmp_path / "sub").mkdir()
+    for name, size in [("a.csv", 10), ("b.CSV", 1000), ("c.txt", 10),
+                       ("sub/d.csv", 10)]:
+        (tmp_path / name).write_bytes(b"x" * size)
+    all_csv = discover_files(str(tmp_path), "csv")
+    assert [os.path.basename(f["path"]) for f in all_csv] == \
+        ["a.csv", "b.CSV", "d.csv"]
+    flat = discover_files(str(tmp_path), "csv",
+                          DiscoveryOptions(recursive=False))
+    assert len(flat) == 2
+    big = discover_files(str(tmp_path), "csv",
+                         DiscoveryOptions(min_size=100))
+    assert [os.path.basename(f["path"]) for f in big] == ["b.CSV"]
+    with pytest.raises(FileNotFoundError):
+        discover_files(str(tmp_path), "json")
+
+
+def test_detect_delimiter():
+    assert detect_delimiter(b"a,b,c\n1,2,3\n") == ","
+    assert detect_delimiter(b"a;b;c\n1;2;3\n") == ";"
+    assert detect_delimiter(b"a\tb\n1\t2\n") == "\t"
+    assert detect_delimiter(b"a|b|c\n") == "|"
+    assert detect_delimiter(b"nodelims\n") == ","
+
+
+def test_validate_utf8():
+    assert validate_utf8("héllo".encode())
+    assert not validate_utf8(b"\xff\xfe\x00bad")
+
+
+def test_read_csv_auto(ray_session, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("a;b\n1;x\n2;y\n")
+    ds = read_csv_auto(str(p))
+    df = ds.to_pandas()
+    assert list(df.columns) == ["a", "b"] and len(df) == 2

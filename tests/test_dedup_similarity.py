@@ -1,0 +1,176 @@
+"""Dedup family + ANN: planted-duplicate recall, exact verification,
+LSH recall vs brute force."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd_mod
+
+from dataquality_cli_ray.functions.hashing import (
+    char_shingle_hashes,
+    hamming64,
+    jaccard,
+    simhash64,
+)
+from dataquality_cli_ray.pipelines import dedup as DD
+from dataquality_cli_ray.pipelines import similarity as SIM
+
+
+def _near_dup_corpus(n_base=60, seed=3):
+    """Base docs + one perturbed near-copy each + unrelated docs."""
+    rng = np.random.default_rng(seed)
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    docs, ids = [], []
+    for i in range(n_base):
+        base = " ".join(rng.choice(words, 30))
+        docs.append(base)
+        ids.append(2 * i)
+        # near-dup: drop one word
+        toks = base.split()
+        toks.pop(int(rng.integers(len(toks))))
+        docs.append(" ".join(toks))
+        ids.append(2 * i + 1)
+    return pd.DataFrame({"doc_id": ids, "text": docs})
+
+
+def test_exact_dedup_keep_first(ray_session):
+    df = pd.DataFrame({
+        "doc_id": [5, 1, 2, 3, 4],
+        "text": ["x", "x", "y", "y", "z"],
+    })
+    ds = rd_mod.from_pandas(df)
+    kept = DD.exact_dedup_by_text(ds, "text", "doc_id").to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 2, 4]
+
+
+def test_exact_dup_groups_combiner(ray_session):
+    df = pd.DataFrame({"k": [1, 1, 1, 2, 3, 3], "id": list("badcfe")})
+    ds = rd_mod.from_pandas(df)
+    g = DD.exact_dup_groups(ds, "k", "id").to_pandas().set_index("k")
+    assert g.loc[1, "winner"] == "a" and g.loc[1, "cnt"] == 3
+    assert g.loc[2, "cnt"] == 1
+    assert g.loc[3, "winner"] == "e" and g.loc[3, "cnt"] == 2
+
+
+def test_minhash_recall_on_planted_dups(ray_session):
+    df = _near_dup_corpus()
+    ds = rd_mod.from_pandas(df)
+    pairs = DD.minhash_lsh_pairs(ds, "text", "doc_id",
+                                 threshold=0.6).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    planted = {(2 * i, 2 * i + 1) for i in range(60)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"minhash recall {recall}"
+
+
+def test_minhash_exact_verify(ray_session):
+    df = _near_dup_corpus(n_base=20)
+    ds = rd_mod.from_pandas(df)
+    pairs = DD.minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.6)
+    verified = DD.verify_pairs_exact_jaccard(
+        pairs, ds, "text", "doc_id", threshold=0.6).to_pandas()
+    # every surviving pair's exact jaccard really is >= threshold
+    texts = dict(zip(df["doc_id"], df["text"]))
+    for _, r in verified.iterrows():
+        ja = jaccard(char_shingle_hashes(texts[r["id_a"]]),
+                     char_shingle_hashes(texts[r["id_b"]]))
+        assert ja >= 0.6 and abs(ja - r["jaccard"]) < 1e-12
+
+
+def test_simhash_blocking_recall(ray_session):
+    df = _near_dup_corpus(n_base=40)
+    ds = rd_mod.from_pandas(df)
+    pairs = DD.simhash_pairs(ds, "text", "doc_id", max_hamming=6).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    # count how many planted pairs are within hamming 6 at all (ground truth)
+    gt = set()
+    texts = dict(zip(df["doc_id"], df["text"]))
+    for i in range(40):
+        a = simhash64(char_shingle_hashes(texts[2 * i]))
+        b = simhash64(char_shingle_hashes(texts[2 * i + 1]))
+        d = hamming64(np.array([a], dtype=np.int64).view(np.uint64),
+                      np.array([b], dtype=np.int64).view(np.uint64))[0]
+        if d <= 6:
+            gt.add((2 * i, 2 * i + 1))
+    assert gt, "fixture produced no close simhash pairs"
+    # pigeonhole guarantees pairs with hamming ≤ 3 are found; at ≤6 the
+    # 4-block scheme may miss some — require most
+    recall = len(found & gt) / len(gt)
+    assert recall >= 0.7, f"simhash recall {recall} of {len(gt)}"
+
+
+def test_embedding_dup_bruteforce_matches_numpy(ray_session):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16))
+    dups = base[:10] + rng.standard_normal((10, 16)) * 0.05
+    M = np.vstack([base, dups])
+    df = pd.DataFrame({"vec_id": np.arange(50),
+                       "embedding": [list(map(float, v)) for v in M]})
+    ds = rd_mod.from_pandas(df)
+    got = DD.embedding_dup_pairs_bruteforce(
+        ds, "embedding", "vec_id", 0.95).to_pandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    # numpy oracle
+    N = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = N @ N.T
+    iu = np.triu_indices(50, 1)
+    exp_pairs = {(int(a), int(b)) for a, b in
+                 zip(iu[0][S[iu] >= 0.95], iu[1][S[iu] >= 0.95])}
+    assert got_pairs == exp_pairs and len(exp_pairs) >= 8
+
+
+def test_embedding_lsh_recall(ray_session):
+    rng = np.random.default_rng(12)
+    base = rng.standard_normal((100, 32))
+    dups = base + rng.standard_normal((100, 32)) * 0.03
+    M = np.vstack([base, dups])
+    df = pd.DataFrame({"vec_id": np.arange(200),
+                       "embedding": [list(map(float, v)) for v in M]})
+    ds = rd_mod.from_pandas(df)
+    got = DD.embedding_dup_pairs_lsh(ds, "embedding", "vec_id", dim=32,
+                                     threshold=0.95, nbits=8).to_pandas()
+    found = set(zip(got["id_a"], got["id_b"]))
+    planted = {(i, i + 100) for i in range(100)}
+    recall = len(found & planted) / 100
+    assert recall >= 0.5, f"lsh recall {recall}"   # 8-bit single table
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    rng = np.random.default_rng(13)
+    M = rng.standard_normal((300, 24))
+    df = pd.DataFrame({"vec_id": np.arange(300),
+                       "embedding": [list(map(float, v)) for v in M]})
+    ds = rd_mod.from_pandas(df)
+    Q, qids = M[:3], [0, 1, 2]
+    got = SIM.brute_force_topk(ds, Q, qids, k=5).to_pandas()
+    N = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    S = Qn @ N.T
+    for qi, qid in enumerate(qids):
+        exp = np.argsort(-S[qi], kind="stable")[:5]
+        sub = got[got["query_id"] == qid].sort_values("rank")
+        assert list(sub["vec_id"]) == list(exp)
+
+
+def test_lsh_topk_recall(ray_session):
+    """Plant 10 true near neighbours per query; the LSH index must find
+    most of them (near-identical vectors share the hyperplane key)."""
+    rng = np.random.default_rng(14)
+    noise = rng.standard_normal((400, 32))
+    Q = rng.standard_normal((5, 32))
+    planted = np.vstack([q + rng.standard_normal((10, 32)) * 0.05 for q in Q])
+    M = np.vstack([noise, planted])
+    df = pd.DataFrame({"vec_id": np.arange(len(M)),
+                       "embedding": [list(map(float, v)) for v in M]})
+    ds = rd_mod.from_pandas(df)
+    qids = list(range(5))
+    approx = SIM.lsh_topk(ds, Q, qids, k=10, dim=32, nbits=8).to_pandas()
+    recalls = []
+    for qi, qid in enumerate(qids):
+        truth = set(range(400 + qi * 10, 400 + (qi + 1) * 10))
+        got = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(got & truth) / 10)
+    assert np.mean(recalls) >= 0.6, recalls

@@ -1,0 +1,144 @@
+"""Profiler correctness: stats vs DuckDB, merge associativity, reference
+semantics (blank-as-null, promotion lattice, rating thresholds)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+from dataquality_cli_ray.state.sketches import (
+    ColumnPartial,
+    column_kind,
+    merge_partial_maps,
+    partials_for_table,
+)
+from dataquality_cli_ray.pipelines.profiler import (
+    describe,
+    null_percentage,
+    quality_rating,
+    rollup,
+)
+
+
+def test_describe_matches_duckdb(ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    t = describe(ds).to_pandas().set_index("column")
+    con = duckdb.connect()
+    exp = con.sql(
+        f"""SELECT count(l_quantity) n, avg(l_quantity) mean,
+            stddev_pop(l_quantity) std, min(l_quantity) mn, max(l_quantity) mx,
+            percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) q50,
+            count(DISTINCT l_quantity) u
+            FROM '{SF_SMOKE}/lineitem.parquet'"""
+    ).fetchone()
+    r = t.loc["l_quantity"]
+    assert r["n"] == 6000 and r["nulls"] == 0
+    assert abs(r["mean"] - exp[1]) < 1e-9
+    assert abs(r["std"] - exp[2]) < 1e-9
+    assert r["min"] == exp[3] and r["max"] == exp[4]
+    assert abs(r["q50"] - exp[5]) < 1e-9
+    assert r["unique"] == exp[6]
+
+
+def test_merge_associativity():
+    """Partial merge is order-insensitive: any grouping of batches gives
+    the same finalized stats (required for Ray's unordered execution)."""
+    rng = np.random.default_rng(7)
+    vals = rng.normal(100, 15, 10_000)
+    tables = [
+        pa.table({"x": vals[i : i + 1000]}) for i in range(0, 10_000, 1000)
+    ]
+    maps = [partials_for_table(t) for t in tables]
+    a = merge_partial_maps([maps[i] for i in [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]])
+    maps2 = [partials_for_table(t) for t in tables]
+    b = merge_partial_maps([maps2[i] for i in [9, 3, 5, 0, 8, 1, 7, 2, 6, 4]])
+    fa, fb = a["x"].finalize(), b["x"].finalize()
+    for k in ["n", "nulls", "min", "max", "unique"]:
+        assert fa[k] == fb[k], k
+    for k in ["mean", "std", "q25", "q50", "q75"]:
+        assert abs(fa[k] - fb[k]) < 1e-9, k
+
+
+def test_blank_as_null_rule():
+    """Reference M2: null = Arrow-null OR blank-after-trim
+    (adaptive_streaming_engine.go:206-209)."""
+    t = pa.table({"s": ["a", "", "  ", "\t", None, "b"]})
+    p = partials_for_table(t)["s"]
+    assert p.n == 6 and p.nulls == 4
+
+
+def test_type_promotion_lattice():
+    """simple_engine.go:262-270: int iff only ints; float if ints+floats;
+    string otherwise."""
+    cases = [
+        (["1", "2", "3"], "int"),
+        (["1", "2.5", "3"], "float"),
+        (["1", "x", "3"], "string"),
+        (["1e3", "2.0"], "float"),
+    ]
+    for vals, want in cases:
+        p = partials_for_table(pa.table({"c": vals}))["c"]
+        assert p.inferred_type() == want, (vals, want)
+
+
+def test_quantile_interpolation_matches_sql():
+    vals = [1.0, 2.0, 3.0, 10.0]
+    p = partials_for_table(pa.table({"x": vals}))["x"]
+    f = p.finalize()
+    con = duckdb.connect()
+    q = con.sql(
+        "SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY x)::DOUBLE,"
+        " percentile_cont(0.75) WITHIN GROUP (ORDER BY x)::DOUBLE"
+        " FROM (VALUES (1.0::DOUBLE),(2.0),(3.0),(10.0)) t(x)"
+    ).fetchone()
+    assert abs(f["q25"] - q[0]) < 1e-12
+    assert abs(f["q75"] - q[1]) < 1e-12
+
+
+def test_hll_fallback_accuracy():
+    p = ColumnPartial(name="x", kind="numeric", unique_cap=1000)
+    arr = pa.array(np.arange(50_000, dtype=np.int64))
+    p.update(arr)
+    assert p.uniques is None and p.hll is not None
+    est = p.finalize()["unique"]
+    assert abs(est - 50_000) / 50_000 < 0.05     # HLL p=14 → ~1% typical
+
+
+def test_mode_tiebreak_deterministic():
+    t = pa.table({"s": ["b", "a", "b", "a", "c"]})
+    f = partials_for_table(t)["s"].finalize()
+    # counts: a=2, b=2 → highest count, then smallest value
+    assert f["top"] == "a" and f["freq"] == 2
+
+
+def test_rating_thresholds():
+    """cmd/describe.go:393-401: Good ≤10, Fair ≤25, else Poor."""
+    assert quality_rating(0.0) == "Good"
+    assert quality_rating(10.0) == "Good"
+    assert quality_rating(10.1) == "Fair"
+    assert quality_rating(25.0) == "Fair"
+    assert quality_rating(25.1) == "Poor"
+
+
+def test_null_percentage_and_rollup():
+    t = pa.table({"a": [1, None, 3], "b": ["", "x", "y"]})
+    stats = pa.Table.from_pylist(
+        [partials_for_table(t)[c].finalize() for c in ["a", "b"]]
+    )
+    npct = null_percentage(stats)
+    assert abs(npct - (2 / 6 * 100)) < 1e-9
+    r = rollup({"t1": stats}).to_pylist()[0]
+    assert r["n_rows"] == 3 and r["n_cols"] == 2 and r["rating"] == "Poor"
+
+
+def test_column_kind():
+    assert column_kind(pa.int32()) == "numeric"
+    assert column_kind(pa.float64()) == "numeric"
+    assert column_kind(pa.string()) == "string"
+    assert column_kind(pa.timestamp("us")) == "timestamp"
+    assert column_kind(pa.binary()) == "other"
+    assert column_kind(pa.list_(pa.float32())) == "other"

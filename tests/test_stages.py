@@ -1,0 +1,211 @@
+"""Unit tests: fake codec, image stages, langid, perplexity, textqa
+kernels, sources."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dataquality_cli_ray.functions import imagefake as IF
+from dataquality_cli_ray.functions import text as T
+from dataquality_cli_ray.functions.hashing import (
+    rolling_fingerprints,
+    stable_hash64,
+)
+from dataquality_cli_ray.fixtures.images import LANGS, VOCAB, seed_corpus
+from dataquality_cli_ray.stages.image_stages import (
+    AudioFeatureStage,
+    DecodeImageStage,
+    FrameSampleStage,
+    ResizeImageStage,
+)
+from dataquality_cli_ray.stages.langid import (
+    LangIdScorer,
+    merge_langid_partials,
+    train_langid_model,
+)
+from dataquality_cli_ray.stages.perplexity import (
+    PerplexityScorer,
+    score_text,
+    train_char_lm,
+)
+
+
+def _img(w=16, h=12, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- codec
+
+def test_codec_lossless_roundtrip():
+    arr = _img()
+    out, fmt = IF.decode_image(IF.encode_image(arr, "png"))
+    assert fmt == "png" and np.array_equal(out, arr)
+
+
+def test_codec_lossy_psnr():
+    arr = _img(64, 64)
+    out, _ = IF.decode_image(IF.encode_image(arr, "jpeg"))
+    assert IF.psnr(arr, out) >= 40.0
+
+
+def test_codec_corrupt_raises():
+    with pytest.raises(IF.CorruptImageError):
+        IF.decode_image(b"not an image")
+    with pytest.raises(IF.CorruptImageError):
+        IF.decode_image(IF.encode_image(_img(), "png")[:-5])
+
+
+def test_resize_and_ahash():
+    arr = _img(32, 32, 1)
+    r = IF.resize_nearest(arr, 8, 8)
+    assert r.shape == (8, 8, 3)
+    assert IF.average_hash64(arr) == IF.average_hash64(arr)   # deterministic
+    assert np.iinfo(np.int64).min <= IF.average_hash64(arr) <= np.iinfo(np.int64).max
+
+
+# --------------------------------------------------------------- stages
+
+def test_decode_stage_quarantine():
+    good = IF.encode_image(_img(8, 8), "png")
+    batch = pa.table({
+        "bytes": pa.array([good, b"junk", None], type=pa.binary()),
+        "w": pa.array([8, 8, 8], type=pa.int32()),
+        "h": pa.array([8, 8, 8], type=pa.int32()),
+    })
+    out = DecodeImageStage()(batch)
+    assert out["rule_decode_error"].to_pylist() == [False, True, True]
+    assert out["decode_err"][1].as_py() is not None
+    assert out["dec_w"][0].as_py() == 8
+
+
+def test_decode_stage_meta_mismatch():
+    good = IF.encode_image(_img(8, 8), "png")
+    batch = pa.table({
+        "bytes": pa.array([good], type=pa.binary()),
+        "w": pa.array([16], type=pa.int32()),
+        "h": pa.array([8], type=pa.int32()),
+    })
+    out = DecodeImageStage()(batch)
+    assert out["rule_decode_error"].to_pylist() == [True]
+
+
+def test_resize_stage():
+    good = IF.encode_image(_img(16, 16), "jpeg")
+    batch = pa.table({"bytes": pa.array([good, b"bad"], type=pa.binary()),
+                      "fmt": ["jpeg", "jpeg"]})
+    out = ResizeImageStage(4, 4)(batch)
+    rb = out["bytes_resized"].to_pylist()
+    assert rb[1] is None
+    arr, _ = IF.decode_image(rb[0])
+    assert arr.shape == (4, 4, 3)
+
+
+def test_video_stub_raises():
+    with pytest.raises(NotImplementedError):
+        FrameSampleStage()(pa.table({"bytes": pa.array([b"x"])}))
+
+
+def test_audio_stub():
+    pcm = (np.sin(np.linspace(0, 100, 16000)) * 10000).astype(np.int16)
+    out = AudioFeatureStage()(
+        pa.table({"audio_bytes": pa.array([pcm.tobytes()], type=pa.binary())}))
+    assert abs(out["audio_sec"][0].as_py() - 1.0) < 1e-6
+    assert out["audio_rms"][0].as_py() > 1000
+
+
+# ---------------------------------------------------------- langid / ppl
+
+def test_langid_accuracy_on_fixture_corpus():
+    texts, labels = seed_corpus(n_per_lang=100)
+    model = train_langid_model(texts, labels)
+    scorer = LangIdScorer(model, text_col="t")
+    # held-out texts from the same vocabularies
+    rng = np.random.default_rng(99)
+    test_texts, test_labels = [], []
+    for lang in LANGS:
+        for _ in range(30):
+            test_texts.append(" ".join(rng.choice(VOCAB[lang], 12)))
+            test_labels.append(lang)
+    out = scorer(pa.table({"t": test_texts}))
+    acc = np.mean(np.array(out["lang_pred"].to_pylist()) == np.array(test_labels))
+    assert acc >= 0.95, acc
+
+
+def test_langid_gibberish_scores_low():
+    texts, labels = seed_corpus(n_per_lang=100)
+    model = train_langid_model(texts, labels)
+    scorer = LangIdScorer(model, text_col="t", min_score=0.22)
+    out = scorer(pa.table({"t": ["qzxv jkwpf zzkqj xxyzw vvqpz",
+                                 "lorem ipsum dolor sit amet"]}))
+    flags = out["rule_lang_unknown"].to_pylist()
+    assert flags == [True, False]
+
+
+def test_langid_partial_merge_equals_direct():
+    texts, labels = seed_corpus(n_per_lang=50)
+    direct = train_langid_model(texts, labels)
+    # split into 3 chunks, build partials, merge
+    from dataquality_cli_ray.stages.langid import LangIdTrainPartials
+    import pickle
+    parts = []
+    stage = LangIdTrainPartials("t", "l")
+    for i in range(0, len(texts), 50):
+        t = pa.table({"t": texts[i:i+50], "l": labels[i:i+50]})
+        parts.append(pickle.loads(stage(t)["partial"][0].as_py()))
+    merged = merge_langid_partials(parts)
+    assert merged["langs"] == direct["langs"]
+    np.testing.assert_allclose(merged["profiles"], direct["profiles"],
+                               atol=1e-6)
+
+
+def test_perplexity_separates_gibberish():
+    texts, _ = seed_corpus(n_per_lang=150)
+    model = train_char_lm(texts)
+    natural = "lorem ipsum dolor sit amet consectetur"
+    gibber = "qzx vkwjp zzkqjj xxyzww vvqpzk jjqxxw"
+    assert score_text(model, natural) + 1.5 < score_text(model, gibber)
+
+
+def test_perplexity_scorer_stage():
+    texts, _ = seed_corpus(n_per_lang=50)
+    model = train_char_lm(texts)
+    st = PerplexityScorer(model, text_col="t", max_ppl=14.0)
+    out = st(pa.table({"t": ["lorem ipsum dolor", ""]}))
+    assert out["ppl"][1].as_py() == 999.0
+    assert out["rule_high_perplexity"][1].as_py()
+
+
+# ----------------------------------------------------------- text utils
+
+def test_token_counts_match_python():
+    import re
+    texts = ["a b  c", "  x  ", "", "don't stop-me now!", "1+2=3"]
+    ws = T.token_count_ws(pa.array(texts)).to_pylist()
+    bpe = T.token_count_bpe(pa.array(texts)).to_pylist()
+    for i, t in enumerate(texts):
+        assert ws[i] == len(t.split()), t
+        assert bpe[i] == len(re.findall(T.TOKEN_REGEX, t)), t
+
+
+def test_alpha_digit_ratio():
+    arr = pa.array(["abc", "a1", "123", ""])
+    a = T.alpha_ratio(arr).to_pylist()
+    d = T.digit_ratio(arr).to_pylist()
+    assert a == [1.0, 0.5, 0.0, 1.0]
+    assert d == [0.0, 0.5, 1.0, 0.0]
+
+
+def test_stable_hash_and_fingerprints():
+    assert stable_hash64("x") == stable_hash64("x")
+    assert stable_hash64("x") != stable_hash64("y")
+    fp1 = rolling_fingerprints("the quick brown fox jumps over the lazy dog")
+    fp2 = rolling_fingerprints("the quick brown fox jumps over the lazy dog")
+    assert np.array_equal(fp1, fp2)
+    fp3 = rolling_fingerprints("a completely different document body here")
+    assert len(np.intersect1d(fp1, fp3)) < min(len(fp1), len(fp3))
+
+
+def test_is_null_or_blank():
+    arr = pa.array(["a", "", " ", None])
+    assert T.is_null_or_blank(arr).to_pylist() == [False, True, True, True]
