@@ -84,6 +84,54 @@ def exact_dedup_by_text(ds: "rd.Dataset", text_col: str, id_col: str) -> "rd.Dat
     return groups.select_columns(["winner"]).rename_columns({"winner": id_col})
 
 
+def _keep_nonsingleton_buckets(exploded: "rd.Dataset", key_col: str) -> "rd.Dataset":
+    """Drop rows whose bucket key appears exactly once — those buckets
+    can't produce pairs, and they are the vast majority (LSH buckets are
+    near-singleton by design). Without this, ``map_groups`` pays one
+    Python/pandas call per singleton group.
+
+    Counting is a per-batch combiner + driver merge (key space ≈
+    rows × bands ids, each 8 bytes). At 100 TB swap the driver merge for
+    a ``groupby(key).count()`` shuffle over the combined counts — the
+    downstream filter is unchanged (broadcast key set / bloom filter).
+    """
+    # the exploded projection is consumed twice (count + filter); pin it
+    # in the object store so signatures aren't recomputed — it holds only
+    # (key, id, sig), never the documents, and spills if large
+    exploded = exploded.materialize()
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        g = batch.select([key_col]).group_by(key_col).aggregate([(key_col, "count")])
+        return g.rename_columns([key_col, "cnt"])
+
+    counts: dict[int, int] = {}
+    for b in exploded.select_columns([key_col]).map_batches(
+            cnt, batch_format="pyarrow", batch_size=65536).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        for k, c in zip(b[key_col].to_pylist(), b["cnt"].to_pylist()):
+            counts[k] = counts.get(k, 0) + c
+    keys = np.fromiter((k for k, c in counts.items() if c > 1),
+                       dtype=np.int64)
+    keys_ref = ray.put(np.sort(keys))
+
+    class KeepHot:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            kk = batch[key_col].to_numpy(zero_copy_only=False)
+            if len(self.keys) == 0:
+                mask = np.zeros(len(batch), dtype=bool)
+            else:
+                idx = np.clip(np.searchsorted(self.keys, kk), 0,
+                              len(self.keys) - 1)
+                mask = self.keys[idx] == kk
+            return batch.filter(pa.array(mask))
+
+    return exploded.map_batches(KeepHot, batch_format="pyarrow",
+                                batch_size=65536, concurrency=(1, 4))
+
+
 # ------------------------------------------------------------- minhash
 
 
@@ -152,6 +200,7 @@ def minhash_lsh_pairs(
                                    shingle_k=shingle_k),
         batch_format="pyarrow", batch_size=1024, concurrency=(2, 8),
     )
+    exploded = _keep_nonsingleton_buckets(exploded, "band_key")
     pairs = exploded.groupby("band_key").map_groups(
         lambda g: _bucket_pairs(g, threshold, max_bucket),
         batch_format="pandas",
@@ -252,6 +301,7 @@ def simhash_pairs(
                                    shingle_k=shingle_k),
         batch_format="pyarrow", batch_size=1024, concurrency=(2, 8),
     )
+    exploded = _keep_nonsingleton_buckets(exploded, "block_key")
     pairs = exploded.groupby("block_key").map_groups(bucket, batch_format="pandas")
     from ray.data.aggregate import Min as AggMin
     return pairs.groupby(["id_a", "id_b"]).aggregate(

@@ -71,26 +71,43 @@ class _DupCombiner:
         return g.rename_columns(["phash", "winner", "cnt"])
 
 
-def phash_dup_losers(proj_ds: "rd.Dataset") -> dict[int, str]:
+def phash_dup_losers(proj_ds: "rd.Dataset", mode: str = "driver") -> dict[int, str]:
     """phash → winning image_id for every phash with count > 1.
 
     proj_ds must contain exactly (phash, image_id) — the caller does a
     column-pruned read so bytes never flow through this aggregation.
+
+    modes (the per-batch combiner runs in both — one row per phash per
+    batch, bounding a hot key's contribution to ≤ #blocks):
+    - "driver": stream the combined rows to the driver and merge dicts.
+      O(#distinct phash) driver memory — the fast path while the key
+      space fits one machine (it does for the sandbox benches).
+    - "shuffle": ``groupby(phash)`` over the combined rows (coalesced
+      first: Ray's sort-shuffle cost grows with input block count).
+      The 100 TB path — only (phash, winner, cnt) rows ever shuffle.
     """
     combined = proj_ds.map_batches(
         _DupCombiner(), batch_format="pyarrow", batch_size=65536,
         zero_copy_batch=True,
     )
-    agg = combined.groupby("phash").aggregate(
-        Min("winner", alias_name="winner"),
-        Sum("cnt", alias_name="cnt"),
-    )
-    dup = agg.filter(expr="cnt > 1")
-    out: dict[int, str] = {}
-    for b in dup.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for ph, w in zip(b["phash"].to_pylist(), b["winner"].to_pylist()):
-            out[ph] = w
-    return out
+    if mode == "shuffle":
+        agg = combined.repartition(64).groupby("phash").aggregate(
+            Min("winner", alias_name="winner"),
+            Sum("cnt", alias_name="cnt"),
+        )
+        dup = agg.filter(expr="cnt > 1")
+        out: dict[int, str] = {}
+        for b in dup.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            for ph, w in zip(b["phash"].to_pylist(), b["winner"].to_pylist()):
+                out[ph] = w
+        return out
+    acc: dict[int, tuple[str, int]] = {}
+    for b in combined.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for ph, w, c in zip(b["phash"].to_pylist(), b["winner"].to_pylist(),
+                            b["cnt"].to_pylist()):
+            prev = acc.get(ph)
+            acc[ph] = (w, c) if prev is None else (min(prev[0], w), prev[1] + c)
+    return {ph: w for ph, (w, c) in acc.items() if c > 1}
 
 
 class _MarkDupStage:
@@ -118,6 +135,39 @@ class _MarkDupStage:
         return batch.append_column("rule_phash_dup", pa.array(mask))
 
 
+class QualityFusedStage:
+    """The whole per-row pipeline as ONE actor-pool stage.
+
+    All sub-stages are CPU-bound per-batch transforms with shared-
+    nothing state, so fusing them into a single actor eliminates two
+    extra pool spin-ups and two inter-stage block handoffs — on a
+    32-CPU node that was the dominant cost (the kernels themselves are
+    ~0.25 ms/row). Models are fetched from the object store ONCE per
+    actor in ``__init__`` (the actor-pool pattern the north rule names);
+    the wide dedup decision arrives as a broadcast loser map.
+    """
+
+    def __init__(self, cfg: QualityConfig, langid_ref, ppl_ref,
+                 dup_ref=None, decode: bool = True):
+        self.rules = HeuristicRules(cfg)
+        self.decode = DecodeImageStage() if decode else None
+        self.langid = LangIdScorer(langid_ref, min_score=cfg.langid_min_score)
+        self.ppl = PerplexityScorer(ppl_ref, max_ppl=cfg.max_perplexity)
+        self.scrub = PiiScrubber()
+        self.markdup = _MarkDupStage(dup_ref) if dup_ref is not None else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = self.rules(batch)
+        if self.decode is not None:
+            out = self.decode(out)
+        out = self.langid(out)
+        out = self.ppl(out)
+        out = self.scrub(out)
+        if self.markdup is not None:
+            out = self.markdup(out)
+        return finalize_decision(out)
+
+
 def quality_pipeline(
     ds: "rd.Dataset",
     dup_map: dict[int, str] | None,
@@ -126,56 +176,33 @@ def quality_pipeline(
     ppl_model: dict | None = None,
     decode: bool = True,
     select_output: bool = True,
-    model_concurrency: int | tuple = (2, 8),
-    text_batch: int = 4096,
-    bytes_batch: int = 256,
+    model_concurrency: int | tuple | None = None,
+    batch_size: int = 1024,
 ) -> "rd.Dataset":
-    """Assemble the flagship pipeline over an input Dataset."""
+    """Assemble the flagship pipeline over an input Dataset (one fused
+    actor-pool stage; see QualityFusedStage)."""
     cfg = cfg or QualityConfig()
     if langid_model is None or ppl_model is None:
         lm, pm = build_models()
         langid_model = langid_model or lm
         ppl_model = ppl_model or pm
+    if model_concurrency is None:
+        import os
+        model_concurrency = (1, max(2, (os.cpu_count() or 8) - 2))
 
-    out = ds.map_batches(
-        HeuristicRules(cfg), batch_format="pyarrow", batch_size=text_batch,
-        zero_copy_batch=True,
-    )
-    if decode:
-        out = out.map_batches(
-            DecodeImageStage(), batch_format="pyarrow", batch_size=bytes_batch,
-            zero_copy_batch=True,
-        )
-    langid_ref = ray.put(langid_model)
-    ppl_ref = ray.put(ppl_model)
-    out = out.map_batches(
-        LangIdScorer,
-        fn_constructor_kwargs={"model_ref": langid_ref,
-                               "min_score": cfg.langid_min_score},
-        batch_format="pyarrow", batch_size=text_batch,
-        concurrency=model_concurrency, zero_copy_batch=True,
-    )
-    out = out.map_batches(
-        PerplexityScorer,
-        fn_constructor_kwargs={"model_ref": ppl_ref, "max_ppl": cfg.max_perplexity},
-        batch_format="pyarrow", batch_size=text_batch,
-        concurrency=model_concurrency, zero_copy_batch=True,
-    )
-    out = out.map_batches(
-        PiiScrubber(), batch_format="pyarrow", batch_size=text_batch,
-        zero_copy_batch=True,
-    )
+    kwargs = {
+        "cfg": cfg,
+        "langid_ref": ray.put(langid_model),
+        "ppl_ref": ray.put(ppl_model),
+        "decode": decode,
+    }
     if dup_map is not None:
-        dup_ref = ray.put(dup_map)
-        out = out.map_batches(
-            _MarkDupStage,
-            fn_constructor_kwargs={"dup_ref": dup_ref},
-            batch_format="pyarrow", batch_size=text_batch,
-            concurrency=model_concurrency, zero_copy_batch=True,
-        )
-    out = out.map_batches(
-        finalize_decision, batch_format="pyarrow", batch_size=text_batch,
-        zero_copy_batch=True,
+        kwargs["dup_ref"] = ray.put(dup_map)
+    out = ds.map_batches(
+        QualityFusedStage,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=model_concurrency, zero_copy_batch=True,
     )
     if select_output:
         out = out.select_columns(OUTPUT_COLS)

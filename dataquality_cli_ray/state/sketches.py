@@ -51,8 +51,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import stable_hash64
-
 INT_REGEX = r"^[+-]?[0-9]+$"
 FLOAT_REGEX = r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"
 
@@ -134,11 +132,15 @@ class ColumnPartial:
     # string/lexicographic extremes (also used for timestamps rendered ISO)
     min_str: str | None = None
     max_str: str | None = None
-    # distincts
-    uniques: set | None = field(default_factory=set)
+    # distinct + mode state: pending per-batch (values, counts) arrays,
+    # merged vectorized (pandas groupby-sum) on compaction. While
+    # ``hll`` is None the compacted state is EXACT; once the distinct
+    # count passes unique_cap it spills to a HyperLogLog and the counts
+    # become a capped heavy-hitters table (space-saving style).
+    vc_values: list = field(default_factory=list)   # list[np.ndarray]
+    vc_counts: list = field(default_factory=list)   # list[np.ndarray]
+    vc_pending: int = 0
     hll: HyperLogLog | None = None
-    # mode
-    counts: dict | None = field(default_factory=dict)
     counts_overflow: bool = False
     # quantile values (numeric only)
     values: list = field(default_factory=list)   # list[np.ndarray]
@@ -201,13 +203,14 @@ class ColumnPartial:
         self.nulls += arr.null_count
         nonnull = arr.drop_null()
         if len(nonnull):
-            # cast to seconds first: pyarrow's %S renders fractional digits
-            iso = pc.strftime(nonnull.cast(pa.timestamp("s")), format="%Y-%m-%d %H:%M:%S")
-            mm = pc.min_max(iso)
-            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            # min/max on the raw timestamps; ONLY the two extremes get
+            # formatted (strftime over the whole column was 85 % of the
+            # per-batch cost)
+            mm = pc.min_max(nonnull)
+            mn, mx = _ts_iso(mm["min"].as_py()), _ts_iso(mm["max"].as_py())
             self.min_str = mn if self.min_str is None else min(self.min_str, mn)
             self.max_str = mx if self.max_str is None else max(self.max_str, mx)
-            self._update_distinct_and_mode(iso)
+            self._update_distinct_and_mode(nonnull)
 
     def _update_type_flags(self, trimmed: pa.Array) -> None:
         nonblank = trimmed.filter(pc.not_equal(trimmed, ""))
@@ -229,33 +232,39 @@ class ColumnPartial:
 
     def _update_distinct_and_mode(self, nonnull: pa.Array) -> None:
         vc = pc.value_counts(nonnull)
-        vals = vc.field("values").to_pylist()
-        cnts = vc.field("counts").to_pylist()
-        if self.uniques is not None:
-            self.uniques.update(vals)
-            if len(self.uniques) > self.unique_cap:
-                self._spill_uniques_to_hll()
-        elif self.hll is not None:
-            self.hll.add_hashes(np.array([stable_hash64(str(v)) for v in vals], dtype=np.uint64))
-        if self.counts is not None:
-            c = self.counts
-            for v, k in zip(vals, cnts):
-                c[v] = c.get(v, 0) + k
-            if len(c) > self.topk_cap:
-                self._truncate_counts()
+        vals = vc.field("values").to_numpy(zero_copy_only=False)
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+        if self.hll is not None:
+            self.hll.add_hashes(_hash_values(vals))
+        self.vc_values.append(vals)
+        self.vc_counts.append(cnts)
+        self.vc_pending += len(vals)
+        if self.vc_pending > max(self.unique_cap // 2, 4 * self.topk_cap):
+            self._compact()
 
-    def _spill_uniques_to_hll(self) -> None:
-        self.hll = HyperLogLog()
-        self.hll.add_hashes(
-            np.array([stable_hash64(str(v)) for v in self.uniques], dtype=np.uint64)
-        )
-        self.uniques = None
+    def _compact(self) -> None:
+        """Vectorized merge of pending (values, counts) arrays; spills
+        to HLL + capped heavy-hitters when distincts exceed unique_cap."""
+        import pandas as pd
 
-    def _truncate_counts(self) -> None:
-        # space-saving style: keep the heaviest topk_cap/2 entries
-        keep = sorted(self.counts.items(), key=lambda kv: (-kv[1], str(kv[0])))[: self.topk_cap // 2]
-        self.counts = dict(keep)
-        self.counts_overflow = True
+        if not self.vc_values:
+            return
+        vals = np.concatenate(self.vc_values)
+        cnts = np.concatenate(self.vc_counts).astype(np.int64)
+        s = pd.Series(cnts).groupby(pd.Series(vals), sort=False).sum()
+        vals, cnts = s.index.to_numpy(), s.to_numpy()
+        if self.hll is None and len(vals) > self.unique_cap:
+            self.hll = HyperLogLog()
+            self.hll.add_hashes(_hash_values(vals))
+        if self.hll is not None and len(vals) > self.topk_cap // 2:
+            # keep heaviest entries; tie-break (count desc, str value asc)
+            order = np.lexsort((np.asarray(vals).astype(str), -cnts))
+            keep = order[: self.topk_cap // 2]
+            vals, cnts = vals[keep], cnts[keep]
+            self.counts_overflow = True
+        self.vc_values = [vals]
+        self.vc_counts = [cnts]
+        self.vc_pending = len(vals)
 
     def _append_values(self, vals: np.ndarray) -> None:
         self.values.append(vals)
@@ -290,29 +299,27 @@ class ColumnPartial:
         for attr, fn in (("min_num", min), ("max_num", max), ("min_str", min), ("max_str", max)):
             a, b = getattr(self, attr), getattr(o, attr)
             setattr(self, attr, b if a is None else (a if b is None else fn(a, b)))
-        # distincts
-        if self.uniques is not None and o.uniques is not None:
-            self.uniques |= o.uniques
-            if len(self.uniques) > self.unique_cap:
-                self._spill_uniques_to_hll()
-        else:
-            if self.uniques is not None:
-                self._spill_uniques_to_hll()
-            other_hll = o.hll
-            if o.uniques is not None:
-                other_hll = HyperLogLog()
-                other_hll.add_hashes(
-                    np.array([stable_hash64(str(v)) for v in o.uniques], dtype=np.uint64)
-                )
-            if other_hll is not None:
-                self.hll.merge(other_hll)
-        # mode
-        if self.counts is not None and o.counts is not None:
-            for v, k in o.counts.items():
-                self.counts[v] = self.counts.get(v, 0) + k
-            self.counts_overflow |= o.counts_overflow
-            if len(self.counts) > self.topk_cap:
-                self._truncate_counts()
+        # distinct + mode: concatenate pending arrays; reconcile HLLs.
+        # If either side already spilled, the union must be in ONE hll:
+        # fold the exact side's distincts (its pending values) in.
+        if self.hll is None and o.hll is not None:
+            self._compact()
+            self.hll = HyperLogLog()
+            if self.vc_values and len(self.vc_values[0]):
+                self.hll.add_hashes(_hash_values(self.vc_values[0]))
+        if self.hll is not None:
+            if o.hll is not None:
+                self.hll.merge(o.hll)
+            else:
+                for v in o.vc_values:
+                    if len(v):
+                        self.hll.add_hashes(_hash_values(v))
+        self.vc_values.extend(o.vc_values)
+        self.vc_counts.extend(o.vc_counts)
+        self.vc_pending += o.vc_pending
+        self.counts_overflow |= o.counts_overflow
+        if self.vc_pending > max(self.unique_cap // 2, 4 * self.topk_cap):
+            self._compact()
         # quantile values
         self.values.extend(o.values)
         self.values_n += o.values_n
@@ -347,13 +354,23 @@ class ColumnPartial:
                 out["q25"] = _quantile_cont(allv, 0.25)
                 out["q50"] = _quantile_cont(allv, 0.50)
                 out["q75"] = _quantile_cont(allv, 0.75)
-        if self.uniques is not None:
-            out["unique"] = len(self.uniques)
-        elif self.hll is not None:
+        self._compact()
+        if self.hll is not None:
             out["unique"] = self.hll.estimate()
-        if self.counts:
-            top_v, top_c = min(self.counts.items(), key=lambda kv: (-kv[1], str(kv[0])))
-            out["top"] = str(top_v)
+        elif self.vc_values:
+            out["unique"] = len(self.vc_values[0])
+        if self.vc_values and len(self.vc_values[0]):
+            vals, cnts = self.vc_values[0], self.vc_counts[0]
+            top_c = cnts.max()
+            ties = vals[cnts == top_c]
+            # tie-break: smallest value — natively for numerics (matches
+            # SQL ORDER BY cnt DESC, v ASC), lexicographic for strings
+            if len(ties) > 1:
+                top_v = min(ties) if self.kind in ("numeric", "timestamp") \
+                    else min(ties, key=str)
+            else:
+                top_v = ties[0]
+            out["top"] = _ts_iso(top_v) if self.kind == "timestamp" else str(top_v)
             out["freq"] = int(top_c)
         return out
 
@@ -372,6 +389,21 @@ class ColumnPartial:
 
     def dumps(self) -> bytes:
         return pickle.dumps(self)
+
+
+def _ts_iso(v) -> str:
+    """'%Y-%m-%d %H:%M:%S' of one timestamp (matches DuckDB strftime)."""
+    import pandas as pd
+
+    return pd.Timestamp(v).strftime("%Y-%m-%d %H:%M:%S")
+
+
+def _hash_values(vals: np.ndarray) -> np.ndarray:
+    """Deterministic vectorized 64-bit hashes (pandas siphash with the
+    fixed default key — process-independent, unlike Python hash())."""
+    import pandas as pd
+
+    return pd.util.hash_array(np.asarray(vals), categorize=False)
 
 
 def _quantile_cont(sorted_vals: np.ndarray, q: float) -> float:

@@ -103,7 +103,8 @@ def test_hll_fallback_accuracy():
     p = ColumnPartial(name="x", kind="numeric", unique_cap=1000)
     arr = pa.array(np.arange(50_000, dtype=np.int64))
     p.update(arr)
-    assert p.uniques is None and p.hll is not None
+    p._compact()
+    assert p.hll is not None
     est = p.finalize()["unique"]
     assert abs(est - 50_000) / 50_000 < 0.05     # HLL p=14 → ~1% typical
 
