@@ -62,9 +62,18 @@ def run_benchmarks() -> dict:
     n_rows = _bench_rows()
     img_path = generate_images_parquet(n_rows)   # cached across runs
 
-    # warm OS page cache (untimed) so we measure compute, not cold disk
+    # warm-up (untimed): page cache + worker-process imports, so the
+    # timed run measures steady-state compute, not cold start
     rd.read_parquet(img_path, columns=["image_id"]).count()
     langid_model, ppl_model = build_models()
+    # (in-memory warmup table: read->limit->fixed-pool can deadlock the
+    # streaming executor at low CPU counts — known Ray backpressure edge)
+    from dataquality_cli_ray.fixtures.images import gen_rows
+    from dataquality_cli_ray.pipelines.quality import quality_pipeline
+    import numpy as np
+    warm = rd.from_arrow(gen_rows(np.arange(2000), 2000))
+    quality_pipeline(warm, dup_map=None, langid_model=langid_model,
+                     ppl_model=ppl_model).count()
 
     queries: dict[str, float] = {}
 
@@ -78,7 +87,11 @@ def run_benchmarks() -> dict:
     queries["images_quality"] = round(headline, 3)
 
     # ---- representative per-query timings over SF_DIR ----
+    headline_only = os.environ.get("BENCH_HEADLINE_ONLY") == "1"
+
     def timed(name, fn):
+        if headline_only:
+            return
         t = time.time()
         fn()
         queries[name] = round(time.time() - t, 3)
@@ -121,8 +134,14 @@ def run_benchmarks() -> dict:
 
 def run_scaling() -> dict:
     """Same headline job at num_cpus=8 and 32 in fresh processes."""
+    # larger input for the scaling comparison: at 100k rows the job is
+    # overhead-dominated and CPU count barely matters; 400k rows makes
+    # compute the bottleneck so the 8-vs-32 ratio is meaningful
+    scaling_rows = os.environ.get("SCALING_ROWS", "400000")
+
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_HEADLINE_ONLY="1", IMAGES_BENCH_ROWS=scaling_rows)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -34,15 +34,20 @@ from ..state.sketches import (
 )
 
 
+SKETCH_CAPS = {"unique_cap": 1 << 14, "topk_cap": 1 << 12,
+               "values_cap": 1 << 16}
+
+
 class _PartialStats:
     """Stateless map_batches fn: Arrow block -> one-row table carrying a
     pickled partials map."""
 
-    def __init__(self, columns: list[str] | None = None):
+    def __init__(self, columns: list[str] | None = None, mode: str = "exact"):
         self.columns = columns
+        self.caps = SKETCH_CAPS if mode == "sketch" else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        partials = partials_for_table(batch, self.columns)
+        partials = partials_for_table(batch, self.columns, caps=self.caps)
         blob = pickle.dumps(partials)
         return pa.table({"partial": pa.array([blob], type=pa.binary())})
 
@@ -51,10 +56,11 @@ def column_partials(
     ds: "ray.data.Dataset",
     columns: list[str] | None = None,
     batch_size: int | None = 65536,
+    mode: str = "exact",
 ) -> dict[str, ColumnPartial]:
     """Run the partial-stats pass and merge on the driver (streaming)."""
     part_ds = ds.map_batches(
-        _PartialStats(columns),
+        _PartialStats(columns, mode),
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
@@ -70,16 +76,67 @@ def describe(
     ds: "ray.data.Dataset",
     columns: list[str] | None = None,
     batch_size: int | None = 65536,
+    mode: str = "exact",
+    sample_frac: float | None = None,
+    seed: int = 42,
 ) -> pa.Table:
     """Per-column stats table (the reference's ColumnStats, §2.5 A1-A7).
 
     Output columns: column, kind, inferred_type, n, nulls, mean, std,
     min, max, q25, q50, q75, unique, top, freq, min_str, max_str.
+
+    mode (the reference's engine-selection surface, cmd/describe.go:261-266):
+    - "exact": default caps — distincts/quantiles exact until the
+      documented caps, then sketch fallback.
+    - "sketch": small caps — bounded memory per column regardless of
+      cardinality (HLL distincts, subsampled quantiles, heavy-hitter
+      mode); the 100 TB profile mode.
+
+    sample_frac: optional row sampling before profiling — the principled
+    replacement for the live engine's size-tiered every-Nth-row gates
+    (adaptive_streaming_engine.go:173-181, O4): seeded
+    ``random_sample`` instead of order-dependent modulo.
     """
-    merged = column_partials(ds, columns, batch_size)
+    if sample_frac is not None and sample_frac < 1.0:
+        ds = ds.random_sample(sample_frac, seed=seed)
+    merged = column_partials(ds, columns, batch_size, mode=mode)
     order = columns or list(merged.keys())
     rows = [merged[c].finalize() for c in order if c in merged]
     return _rows_to_table(rows)
+
+
+def key_columns(stats: pa.Table, limit: int = 3) -> list[str]:
+    """Reference O2 (cmd/describe.go:458-473): first `limit` columns
+    that look analytically interesting — numeric with mean > 0, or
+    string with unique > 100."""
+    out = []
+    for i in range(stats.num_rows):
+        kind = stats["kind"][i].as_py()
+        mean = stats["mean"][i].as_py()
+        uniq = stats["unique"][i].as_py()
+        if (kind == "numeric" and (mean or 0) > 0) or (
+                kind == "string" and (uniq or 0) > 100):
+            out.append(stats["column"][i].as_py())
+            if len(out) >= limit:
+                break
+    return out
+
+
+def detailed_analysis_targets(
+    per_table: dict[str, pa.Table], limit: int = 3,
+    null_pct_gt: float = 5.0, rows_gt: int = 100_000, cols_gt: int = 20,
+) -> list[str]:
+    """Reference O3 (cmd/describe.go:403-421): ≤ `limit` tables meeting
+    any attention threshold (null% > 5 ∨ rows > 100k ∨ cols > 20)."""
+    out = []
+    for name, stats in per_table.items():
+        rows = stats["n"][0].as_py() if stats.num_rows else 0
+        if (null_percentage(stats) > null_pct_gt or rows > rows_gt
+                or stats.num_rows > cols_gt):
+            out.append(name)
+            if len(out) >= limit:
+                break
+    return out
 
 
 def _rows_to_table(rows: list[dict[str, Any]]) -> pa.Table:

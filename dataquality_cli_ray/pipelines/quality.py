@@ -51,6 +51,16 @@ OUTPUT_COLS = [
 ]
 
 
+def _ray_cpus() -> int:
+    """CPUs of the current Ray cluster (NOT os.cpu_count(), which
+    ignores ray.init(num_cpus=...))."""
+    try:
+        return int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        import os
+        return os.cpu_count() or 8
+
+
 def build_models(seed: int = 42) -> tuple[dict, dict]:
     """Deterministic langid + perplexity models from the seeded corpus
     (the 'model artifacts' an actor would otherwise load from disk)."""
@@ -148,18 +158,24 @@ class QualityFusedStage:
     """
 
     def __init__(self, cfg: QualityConfig, langid_ref, ppl_ref,
-                 dup_ref=None, decode: bool = True):
+                 dup_ref=None, decode: bool = True, keep_bytes: bool = False):
         self.rules = HeuristicRules(cfg)
         self.decode = DecodeImageStage() if decode else None
         self.langid = LangIdScorer(langid_ref, min_score=cfg.langid_min_score)
         self.ppl = PerplexityScorer(ppl_ref, max_ppl=cfg.max_perplexity)
         self.scrub = PiiScrubber()
         self.markdup = _MarkDupStage(dup_ref) if dup_ref is not None else None
+        self.keep_bytes = keep_bytes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = self.rules(batch)
         if self.decode is not None:
             out = self.decode(out)
+        # drop the image payload as soon as decode is done: labels flow
+        # on without round-tripping megabytes per row through the object
+        # store (keep_bytes=True for pass-through sinks)
+        if not self.keep_bytes and "bytes" in out.column_names:
+            out = out.drop_columns(["bytes"])
         out = self.langid(out)
         out = self.ppl(out)
         out = self.scrub(out)
@@ -177,7 +193,8 @@ def quality_pipeline(
     decode: bool = True,
     select_output: bool = True,
     model_concurrency: int | tuple | None = None,
-    batch_size: int = 1024,
+    batch_size: int | None = None,
+    keep_bytes: bool = False,
 ) -> "rd.Dataset":
     """Assemble the flagship pipeline over an input Dataset (one fused
     actor-pool stage; see QualityFusedStage)."""
@@ -187,14 +204,19 @@ def quality_pipeline(
         langid_model = langid_model or lm
         ppl_model = ppl_model or pm
     if model_concurrency is None:
-        import os
-        model_concurrency = (1, max(2, (os.cpu_count() or 8) - 2))
+        # fixed pool sized from the RAY cluster, not os.cpu_count() —
+        # they differ under ray.init(num_cpus=N), and a fixed pool
+        # larger than the cluster deadlocks. Fixed beats (1, N)
+        # autoscaling here: the autoscaler settles near ~1/3 width on
+        # short jobs, leaving most CPUs idle.
+        model_concurrency = max(2, _ray_cpus() - 2)
 
     kwargs = {
         "cfg": cfg,
         "langid_ref": ray.put(langid_model),
         "ppl_ref": ray.put(ppl_model),
         "decode": decode,
+        "keep_bytes": keep_bytes,
     }
     if dup_map is not None:
         kwargs["dup_ref"] = ray.put(dup_map)
@@ -217,11 +239,18 @@ def images_quality_pipeline(
 ) -> "rd.Dataset":
     """End-to-end over a parquet images table: the dedup aggregation
     reads ONLY (phash, image_id) via a pruned scan; the main pass reads
-    the full rows. Two scans of a columnar source beat shuffling bytes."""
+    the full rows. Two scans of a columnar source beat shuffling bytes.
+
+    override_num_blocks: with the default 128 MiB target block size a
+    medium input yields a handful of blocks, and blocks — not batches —
+    are the unit of task parallelism, so the actor pool would idle.
+    ~4 blocks per CPU keeps every actor fed (and on a real cluster,
+    every node)."""
     cfg = cfg or QualityConfig()
+    nblocks = 4 * _ray_cpus()
     proj = rd.read_parquet(input_path, columns=[cfg.dedup_key, cfg.id_col])
     dup_map = phash_dup_losers(proj)
-    ds = rd.read_parquet(input_path)
+    ds = rd.read_parquet(input_path, override_num_blocks=nblocks)
     return quality_pipeline(ds, dup_map, cfg, decode=decode, **kw)
 
 

@@ -94,16 +94,24 @@ def validate_utf8(data: bytes) -> bool:
         return False
 
 
-def read_csv_auto(paths: str | list[str], **kw) -> "rd.Dataset":
-    """CSV → Dataset with sniffed delimiter and permissive parsing
-    (ragged rows tolerated like the reference's FieldsPerRecord=-1,
-    fast_simple_engine.go:44)."""
+def read_csv_auto(paths: str | list[str], tolerate_ragged: bool = True,
+                  **kw) -> "rd.Dataset":
+    """CSV → Dataset with sniffed delimiter and permissive parsing.
+
+    Ragged-row semantics differ from the reference by necessity: the
+    reference keeps short/long rows, ignoring extra fields
+    (``adaptive_streaming_engine.go:199-202``, ``FieldsPerRecord=-1``);
+    Arrow's CSV reader can only SKIP invalid rows — documented
+    divergence (skipped rows are dropped, not truncated)."""
     from pyarrow import csv as pacsv
 
     first = paths[0] if isinstance(paths, list) else paths
     with open(first, "rb") as f:
         delim = detect_delimiter(f.read(64 * 1024))
-    parse_options = pacsv.ParseOptions(delimiter=delim)
+    popts = {"delimiter": delim}
+    if tolerate_ragged:
+        popts["invalid_row_handler"] = lambda row: "skip"
+    parse_options = pacsv.ParseOptions(**popts)
     return rd.read_csv(paths, parse_options=parse_options, **kw)
 
 

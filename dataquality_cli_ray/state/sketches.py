@@ -420,13 +420,17 @@ def _quantile_cont(sorted_vals: np.ndarray, q: float) -> float:
     return float(sorted_vals[k])
 
 
-def partials_for_table(batch: pa.Table, columns: list[str] | None = None) -> dict[str, ColumnPartial]:
-    """Build per-column partials for one Arrow batch."""
+def partials_for_table(
+    batch: pa.Table, columns: list[str] | None = None,
+    caps: dict | None = None,
+) -> dict[str, ColumnPartial]:
+    """Build per-column partials for one Arrow batch. `caps` overrides
+    the exactness caps (profiler sketch mode)."""
     cols = columns or batch.column_names
     out = {}
     for name in cols:
         arr = batch[name]
-        p = ColumnPartial(name=name, kind=column_kind(arr.type))
+        p = ColumnPartial(name=name, kind=column_kind(arr.type), **(caps or {}))
         if p.kind == "numeric":
             p.has_int = pa.types.is_integer(arr.type)
             p.has_float = pa.types.is_floating(arr.type)

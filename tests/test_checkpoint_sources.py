@@ -112,3 +112,12 @@ def test_read_csv_auto(ray_session, tmp_path):
     ds = read_csv_auto(str(p))
     df = ds.to_pandas()
     assert list(df.columns) == ["a", "b"] and len(df) == 2
+
+
+def test_read_csv_ragged_skip(ray_session, tmp_path):
+    p = tmp_path / "ragged.csv"
+    p.write_text("a,b\n1,x\n2,y,EXTRA\n3,z\n")
+    df = read_csv_auto(str(p)).to_pandas()
+    # Arrow skips the ragged row (documented divergence from the
+    # reference, which would truncate it)
+    assert len(df) == 2 and list(df["a"]) == [1, 3]

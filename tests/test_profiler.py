@@ -143,3 +143,38 @@ def test_column_kind():
     assert column_kind(pa.timestamp("us")) == "timestamp"
     assert column_kind(pa.binary()) == "other"
     assert column_kind(pa.list_(pa.float32())) == "other"
+
+
+def test_key_columns_and_detail_targets():
+    import pyarrow as pa
+    from dataquality_cli_ray.pipelines.profiler import (
+        detailed_analysis_targets,
+        key_columns,
+    )
+    t1 = pa.table({"a": [1.0, 2.0], "b": ["x", "y"]})
+    stats = pa.Table.from_pylist(
+        [partials_for_table(t1)[c].finalize() for c in ["a", "b"]]
+    )
+    assert key_columns(stats) == ["a"]   # numeric mean>0; b unique<=100
+    targets = detailed_analysis_targets({"t1": stats}, null_pct_gt=-1.0)
+    assert targets == ["t1"]
+
+
+def test_sketch_mode(ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    t = describe(ds, mode="sketch").to_pandas().set_index("column")
+    r = t.loc["l_orderkey"]
+    # distincts in sketch mode are approximate but close (HLL p=14)
+    assert abs(r["unique"] - 1500) / 1500 < 0.05
+    assert r["n"] == 6000
+
+
+def test_sampled_describe(ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    t = describe(ds, sample_frac=0.5, seed=1).to_pandas().set_index("column")
+    n = t.loc["l_quantity"]["n"]
+    assert 2000 < n < 4000    # ~50% sample
