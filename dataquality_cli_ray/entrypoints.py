@@ -486,6 +486,20 @@ def q_docs_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     return pairs.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_docs_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Near-dup pairs with EXACT char-5-gram Jaccard ≥ 0.5 — MinHash-LSH
+    candidates verified against the true shingle sets (broadcast text
+    map; SURVEY §2.7 n-gram-Jaccard dedup)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    cand = DD.minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.4)
+    out = DD.verify_pairs_exact_jaccard(cand, ds, "text", "doc_id",
+                                        threshold=0.5).to_pandas()
+    out["jaccard"] = round_half_up(out["jaccard"], 6)
+    return out[["id_a", "id_b", "jaccard"]].sort_values(
+        ["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_ann_topk_lsh(sf_dir: str) -> pd.DataFrame:
     Q, qids = SIM.load_query_vectors(sf_dir, ANN_NQ)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -547,6 +561,7 @@ def build_queries() -> dict:
         "docs_langid": q_docs_langid,
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_simhash_pairs": q_docs_simhash_pairs,
+        "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "ann_topk_lsh": q_ann_topk_lsh,
         "images_quality": q_images_quality,
         "images_describe": q_images_describe,

@@ -51,6 +51,23 @@ OUTPUT_COLS = [
 ]
 
 
+def _parquet_rows(path: str) -> int:
+    """Total rows from parquet footers (metadata only, no data read)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    if os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.read_metadata(os.path.join(root, f)).num_rows
+    else:
+        total = pq.read_metadata(path).num_rows
+    return total
+
+
 def _ray_cpus() -> int:
     """CPUs of the current Ray cluster (NOT os.cpu_count(), which
     ignores ray.init(num_cpus=...))."""
@@ -245,13 +262,37 @@ def images_quality_pipeline(
     medium input yields a handful of blocks, and blocks — not batches —
     are the unit of task parallelism, so the actor pool would idle.
     ~4 blocks per CPU keeps every actor fed (and on a real cluster,
-    every node)."""
+    every node), while a ~4k-row ceiling per block bounds per-actor
+    transient memory (decode buffers + the hashed-ngram count matrix) —
+    oversized blocks OOM-killed the raylet at millions of rows."""
     cfg = cfg or QualityConfig()
-    nblocks = 4 * _ray_cpus()
+    nrows = _parquet_rows(input_path)
+    nblocks = int(min(max(4 * _ray_cpus(), nrows // 4096 + 1), 4096))
     proj = rd.read_parquet(input_path, columns=[cfg.dedup_key, cfg.id_col])
     dup_map = phash_dup_losers(proj)
     ds = rd.read_parquet(input_path, override_num_blocks=nblocks)
     return quality_pipeline(ds, dup_map, cfg, decode=decode, **kw)
+
+
+def pipeline_metrics(executed_ds: "rd.Dataset") -> dict:
+    """Per-stage throughput metrics from Ray Data's own stats (north
+    rule: 'per-stage throughput metrics'). Call AFTER consuming the
+    dataset; returns {operator: {wall_s, cpu_s, rows_out}}."""
+    import re
+
+    stats = executed_ds.stats()
+    out: dict[str, dict] = {}
+    for block in stats.split("Operator ")[1:]:
+        header = block.split("\n", 1)[0]
+        name = header.split(":", 1)[0].strip()
+        m_wall = re.search(r"Remote wall time: .*?, ([0-9.]+)(ms|s|us) total", block)
+        m_rows = re.search(r"Output num rows per block: .*?, ([0-9]+) total", block)
+        mult = {"s": 1.0, "ms": 1e-3, "us": 1e-6}
+        out[name] = {
+            "wall_s": float(m_wall.group(1)) * mult[m_wall.group(2)] if m_wall else None,
+            "rows_out": int(m_rows.group(1)) if m_rows else None,
+        }
+    return out
 
 
 def lineage_summary(out_ds: "rd.Dataset") -> pa.Table:

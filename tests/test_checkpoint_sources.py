@@ -121,3 +121,17 @@ def test_read_csv_ragged_skip(ray_session, tmp_path):
     # Arrow skips the ragged row (documented divergence from the
     # reference, which would truncate it)
     assert len(df) == 2 and list(df["a"]) == [1, 3]
+
+
+def test_render_describe_report():
+    import pyarrow as pa
+
+    from dataquality_cli_ray.cli import render_describe
+    from dataquality_cli_ray.state.sketches import partials_for_table
+
+    t = pa.table({"x": [1.0, 2.0, None], "s": ["a", "", "b"]})
+    stats = pa.Table.from_pylist(
+        [partials_for_table(t)[c].finalize() for c in ["x", "s"]])
+    out = render_describe("demo", stats, 0.5)
+    assert "DATA QUALITY REPORT" in out and "demo" in out
+    assert "rating:" in out and "x" in out and "s" in out
