@@ -486,6 +486,50 @@ def q_docs_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     return pairs.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_events_props_k(sf_dir: str) -> pd.DataFrame:
+    """Scalar-function coverage (SURVEY §2.8 extension): extract the
+    numeric ``k`` from the JSON-ish props string with a vectorized RE2
+    kernel, aggregate per event_type. Oracle uses the same pattern via
+    regexp_extract."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], r'"k": (?P<k>[0-9]+)')
+        k = pc.struct_field(m, "k").cast(pa.int64()).fill_null(0)
+        return pa.table({"event_type": batch["event_type"], "k": k})
+
+    agg = (
+        ds.map_batches(extract, batch_format="pyarrow", batch_size=65536)
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="k_sum"), Count(alias_name="n"))
+    )
+    df = agg.to_pandas()
+    df["k_sum"] = df["k_sum"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENTS_PROPS_K = """SELECT event_type,
+ sum(coalesce(regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT, 0))::BIGINT AS k_sum,
+ count(*)::BIGINT AS n
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+
+def q_docs_winnow(sf_dir: str) -> pd.DataFrame:
+    """Winnowing fingerprint counts (rows-only; Schleimer et al. 2003)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    df = TQ.fingerprints(ds).to_pandas()[["doc_id", "n_winnow"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_docs_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     """Near-dup pairs with EXACT char-5-gram Jaccard ≥ 0.5 — MinHash-LSH
     candidates verified against the true shingle sets (broadcast text
@@ -547,6 +591,7 @@ def build_queries() -> dict:
         "events_hourly": lambda d: R.events_hourly(d),
         "top_users_by_value": lambda d: R.top_users_by_value(d),
         "dup_event_groups": lambda d: R.dup_event_groups(d),
+        "events_props_k": q_events_props_k,
         # text analysis
         "docs_token_stats": q_docs_token_stats,
         "docs_quality_scores": q_docs_quality_scores,
@@ -562,6 +607,7 @@ def build_queries() -> dict:
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "docs_winnow": q_docs_winnow,
         "ann_topk_lsh": q_ann_topk_lsh,
         "images_quality": q_images_quality,
         "images_describe": q_images_describe,
@@ -581,6 +627,7 @@ def build_oracles() -> dict:
         "events_hourly": SQL_EVENTS_HOURLY,
         "top_users_by_value": SQL_TOP_USERS,
         "dup_event_groups": SQL_DUP_EVENTS,
+        "events_props_k": SQL_EVENTS_PROPS_K,
         "docs_token_stats": sql_docs_token_stats(),
         "docs_quality_scores": sql_docs_quality_scores(),
         "docs_rules": sql_docs_rules(),

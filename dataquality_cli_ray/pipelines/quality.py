@@ -128,13 +128,24 @@ def phash_dup_losers(proj_ds: "rd.Dataset", mode: str = "driver") -> dict[int, s
             for ph, w in zip(b["phash"].to_pylist(), b["winner"].to_pylist()):
                 out[ph] = w
         return out
-    acc: dict[int, tuple[str, int]] = {}
-    for b in combined.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for ph, w, c in zip(b["phash"].to_pylist(), b["winner"].to_pylist(),
-                            b["cnt"].to_pylist()):
-            prev = acc.get(ph)
-            acc[ph] = (w, c) if prev is None else (min(prev[0], w), prev[1] + c)
-    return {ph: w for ph, (w, c) in acc.items() if c > 1}
+    import numpy as np
+    import pandas as pd
+
+    ph_l, w_l, c_l = [], [], []
+    for b in combined.iter_batches(batch_size=262144, batch_format="pyarrow"):
+        ph_l.append(b["phash"].to_numpy(zero_copy_only=False))
+        w_l.append(np.asarray(b["winner"].to_pylist(), dtype=object))
+        c_l.append(b["cnt"].to_numpy(zero_copy_only=False))
+    if not ph_l:
+        return {}
+    df = pd.DataFrame({
+        "ph": np.concatenate(ph_l),
+        "w": np.concatenate(w_l),
+        "c": np.concatenate(c_l),
+    })
+    g = df.groupby("ph", sort=False).agg(w=("w", "min"), c=("c", "sum"))
+    dup = g[g["c"] > 1]
+    return dict(zip(dup.index.to_numpy(), dup["w"].to_numpy()))
 
 
 class _MarkDupStage:
