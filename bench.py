@@ -78,13 +78,23 @@ def run_benchmarks() -> dict:
     queries: dict[str, float] = {}
 
     # ---- headline: flagship quality pipeline ----
+    from dataquality_cli_ray.pipelines.quality import phash_dup_losers
+    from dataquality_cli_ray.stages.rules import QualityConfig
+
+    cfg = QualityConfig()
     t0 = time.time()
-    out = images_quality_pipeline(img_path, langid_model=langid_model,
+    dup_map = phash_dup_losers(
+        rd.read_parquet(img_path, columns=[cfg.dedup_key, cfg.id_col]))
+    t_dup = time.time() - t0
+    out = images_quality_pipeline(img_path, cfg, dup_map=dup_map,
+                                  langid_model=langid_model,
                                   ppl_model=ppl_model)
     n_out = out.count()
     headline = time.time() - t0
     assert n_out == n_rows, (n_out, n_rows)
     queries["images_quality"] = round(headline, 3)
+    queries["images_quality_dup_phase"] = round(t_dup, 3)
+    queries["images_quality_main_phase"] = round(headline - t_dup, 3)
 
     # ---- representative per-query timings over SF_DIR ----
     headline_only = os.environ.get("BENCH_HEADLINE_ONLY") == "1"

@@ -131,21 +131,35 @@ def phash_dup_losers(proj_ds: "rd.Dataset", mode: str = "driver") -> dict[int, s
     import numpy as np
     import pandas as pd
 
+    # driver merge, fully vectorized on the int64 key. A naive groupby
+    # over the STRING winner column is pathological (~1 object-min per
+    # distinct key); instead: (1) int64 count-sum to find the few
+    # duplicated keys, (2) resolve winners only for those rows.
     ph_l, w_l, c_l = [], [], []
     for b in combined.iter_batches(batch_size=262144, batch_format="pyarrow"):
         ph_l.append(b["phash"].to_numpy(zero_copy_only=False))
-        w_l.append(np.asarray(b["winner"].to_pylist(), dtype=object))
+        w_l.append(b["winner"])
         c_l.append(b["cnt"].to_numpy(zero_copy_only=False))
     if not ph_l:
         return {}
-    df = pd.DataFrame({
-        "ph": np.concatenate(ph_l),
-        "w": np.concatenate(w_l),
-        "c": np.concatenate(c_l),
-    })
-    g = df.groupby("ph", sort=False).agg(w=("w", "min"), c=("c", "sum"))
-    dup = g[g["c"] > 1]
-    return dict(zip(dup.index.to_numpy(), dup["w"].to_numpy()))
+    ph = np.concatenate(ph_l)
+    cnt = np.concatenate(c_l)
+    totals = pd.Series(cnt).groupby(pd.Series(ph), sort=False).sum()
+    dup_keys = totals.index.to_numpy()[totals.to_numpy() > 1]
+    if len(dup_keys) == 0:
+        return {}
+    dup_sorted = np.sort(dup_keys)
+    idx = np.clip(np.searchsorted(dup_sorted, ph), 0, len(dup_sorted) - 1)
+    mask = dup_sorted[idx] == ph
+    import pyarrow as _pa
+    winners_all = _pa.concat_arrays(
+        [w.combine_chunks() if isinstance(w, _pa.ChunkedArray) else w
+         for w in w_l])
+    sub_w = np.asarray(winners_all.filter(_pa.array(mask)).to_pylist(),
+                       dtype=object)
+    sub_ph = ph[mask]
+    g = pd.Series(sub_w).groupby(pd.Series(sub_ph), sort=False).min()
+    return dict(zip(g.index.to_numpy(), g.to_numpy()))
 
 
 class _MarkDupStage:
@@ -237,7 +251,10 @@ def quality_pipeline(
         # larger than the cluster deadlocks. Fixed beats (1, N)
         # autoscaling here: the autoscaler settles near ~1/3 width on
         # short jobs, leaving most CPUs idle.
-        model_concurrency = max(2, _ray_cpus() - 2)
+        # ~3/4 of the cluster for the model stage, the rest for the
+        # read/split/consume stages — a pool that takes every CPU
+        # starves its own input and idles
+        model_concurrency = max(2, int(_ray_cpus() * 0.75))
 
     kwargs = {
         "cfg": cfg,
@@ -263,6 +280,7 @@ def images_quality_pipeline(
     input_path: str,
     cfg: QualityConfig | None = None,
     decode: bool = True,
+    dup_map: dict[int, str] | None = None,
     **kw,
 ) -> "rd.Dataset":
     """End-to-end over a parquet images table: the dedup aggregation
@@ -279,8 +297,9 @@ def images_quality_pipeline(
     cfg = cfg or QualityConfig()
     nrows = _parquet_rows(input_path)
     nblocks = int(min(max(4 * _ray_cpus(), nrows // 4096 + 1), 4096))
-    proj = rd.read_parquet(input_path, columns=[cfg.dedup_key, cfg.id_col])
-    dup_map = phash_dup_losers(proj)
+    if dup_map is None:
+        proj = rd.read_parquet(input_path, columns=[cfg.dedup_key, cfg.id_col])
+        dup_map = phash_dup_losers(proj)
     ds = rd.read_parquet(input_path, override_num_blocks=nblocks)
     return quality_pipeline(ds, dup_map, cfg, decode=decode, **kw)
 
