@@ -296,7 +296,10 @@ def images_quality_pipeline(
     oversized blocks OOM-killed the raylet at millions of rows."""
     cfg = cfg or QualityConfig()
     nrows = _parquet_rows(input_path)
-    nblocks = int(min(max(4 * _ray_cpus(), nrows // 4096 + 1), 4096))
+    # ~16k rows/block (A/B-tuned): large enough to amortize per-task
+    # round-trips, small enough that per-actor transients stay bounded
+    # now that the langid scorer sub-chunks its count matrix
+    nblocks = int(min(max(4 * _ray_cpus(), nrows // 16384 + 1), 4096))
     if dup_map is None:
         proj = rd.read_parquet(input_path, columns=[cfg.dedup_key, cfg.id_col])
         dup_map = phash_dup_losers(proj)

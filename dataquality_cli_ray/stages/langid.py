@@ -116,14 +116,21 @@ class LangIdScorer:
         self.text_col = text_col
         self.min_score = min_score
 
+    CHUNK = 2048   # caps the (chunk, dim) count-matrix allocation
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = np.asarray(batch[self.text_col].to_pylist(), dtype=object)
-        counts = ngram_count_matrix(texts, self.n, self.dim)
-        norms = np.linalg.norm(counts, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        sims = (counts / norms) @ self.profiles      # (B, L) cosine
-        best = sims.argmax(axis=1)
-        score = sims[np.arange(len(texts)), best].astype(np.float64)
+        best = np.empty(len(texts), dtype=np.int64)
+        score = np.empty(len(texts), dtype=np.float64)
+        for s in range(0, len(texts), self.CHUNK):
+            chunk = texts[s : s + self.CHUNK]
+            counts = ngram_count_matrix(chunk, self.n, self.dim)
+            norms = np.linalg.norm(counts, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (counts / norms) @ self.profiles      # (chunk, L)
+            b = sims.argmax(axis=1)
+            best[s : s + self.CHUNK] = b
+            score[s : s + self.CHUNK] = sims[np.arange(len(chunk)), b]
         lang = self.langs[best].astype(str)
         out = batch.append_column("lang_pred", pa.array(lang, type=pa.string()))
         out = out.append_column("lang_score", pa.array(score, type=pa.float64()))
