@@ -264,6 +264,23 @@ FROM events GROUP BY user_id, event_type HAVING count(*) > 1
 ORDER BY user_id, event_type"""
 
 
+def sql_session_windows(gap_minutes: int = 30) -> str:
+    return f"""WITH x AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL {gap_minutes} MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+y AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x)
+SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events,
+ {sql_round('sum(value)', 6)} AS total_value
+FROM y GROUP BY user_id, sid ORDER BY user_id, session_start"""
+
+
 # ---------------------------------------------------------------------------
 # text ops over documents
 # ---------------------------------------------------------------------------
@@ -592,6 +609,7 @@ def build_queries() -> dict:
         "top_users_by_value": lambda d: R.top_users_by_value(d),
         "dup_event_groups": lambda d: R.dup_event_groups(d),
         "events_props_k": q_events_props_k,
+        "events_session_windows": lambda d: R.session_windows(d),
         # text analysis
         "docs_token_stats": q_docs_token_stats,
         "docs_quality_scores": q_docs_quality_scores,
@@ -628,6 +646,7 @@ def build_oracles() -> dict:
         "top_users_by_value": SQL_TOP_USERS,
         "dup_event_groups": SQL_DUP_EVENTS,
         "events_props_k": SQL_EVENTS_PROPS_K,
+        "events_session_windows": sql_session_windows(),
         "docs_token_stats": sql_docs_token_stats(),
         "docs_quality_scores": sql_docs_quality_scores(),
         "docs_rules": sql_docs_rules(),

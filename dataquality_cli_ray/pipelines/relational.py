@@ -148,6 +148,37 @@ def top_users_by_value(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return df[["user_id", "total_value_r", "n_events"]]
 
 
+def session_windows(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Session windowing per user (streaming-shaped semantics): events
+    within `gap_minutes` of the previous event join the same session.
+
+    Ray shape (ray_guide 'Streaming-shaped workloads'): partition by
+    key (groupby user_id), sort by ts within the group, sessionize with
+    pandas inside map_groups. Order within a group is made
+    deterministic by the (ts, event_id) sort key."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        new_s = (g["ts"].diff().isna()) | (g["ts"].diff() > gap)
+        sid = new_s.cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            n_events=("event_id", "count"),
+            total_value=("value", "sum"),
+        )
+        return out.reset_index(drop=True)
+
+    df = ds.groupby("user_id").map_groups(
+        sessionize, batch_format="pandas").to_pandas()
+    df["n_events"] = df["n_events"].astype("int64")
+    df["total_value"] = round_half_up(df["total_value"], 6)
+    return df.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+
+
 def dup_event_groups(sf_dir: str) -> pd.DataFrame:
     """Duplicate-group counts over events by (user_id, event_type) —
     the phash-dup shape on a driver-provided table (A10)."""
