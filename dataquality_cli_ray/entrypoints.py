@@ -581,6 +581,62 @@ def q_images_quality(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("image_id").reset_index(drop=True)
 
 
+def q_embedding_dup_lsh(sf_dir: str) -> pd.DataFrame:
+    """Hyperplane-LSH near-dup pairs (scale path; recall vs brute force
+    asserted in tests — rows-only here)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = DD.embedding_dup_pairs_lsh(ds, "embedding", "vec_id", dim=64,
+                                     threshold=EMB_DUP_THRESHOLD,
+                                     nbits=8).to_pandas()
+    out["cosine"] = round_half_up(out["cosine"], 6)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_images_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal feature extraction: decode stage over the image
+    fixture → per-image brightness/contrast/ahash + quarantine flags
+    (rows-only; codec is the deterministic stand-in)."""
+    from .fixtures.images import generate_images_parquet
+    from .stages.image_stages import DecodeImageStage
+
+    path = generate_images_parquet(2000, use_ray=False)
+    ds = rd.read_parquet(path, columns=["image_id", "bytes", "w", "h"])
+    out = ds.map_batches(DecodeImageStage(), batch_format="pyarrow",
+                         batch_size=512)
+    df = out.select_columns(
+        ["image_id", "rule_decode_error", "dec_w", "dec_h",
+         "brightness", "contrast", "ahash"]).to_pandas()
+    df["brightness"] = round_half_up(df["brightness"], 6)
+    df["contrast"] = round_half_up(df["contrast"], 6)
+    return df.sort_values("image_id").reset_index(drop=True)
+
+
+def q_images_resize(sf_dir: str) -> pd.DataFrame:
+    """Multimodal transform: 16x16 re-encode of every decodable image
+    (rows-only; returns id + resized size + ok flag)."""
+    from .fixtures.images import generate_images_parquet
+    from .stages.image_stages import ResizeImageStage
+
+    path = generate_images_parquet(2000, use_ray=False)
+    ds = rd.read_parquet(path, columns=["image_id", "bytes", "fmt"])
+    out = ds.map_batches(ResizeImageStage(16, 16), batch_format="pyarrow",
+                         batch_size=512)
+
+    def sizes(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        ln = pc.binary_length(t["bytes_resized"]).fill_null(-1)
+        return pa.table({
+            "image_id": t["image_id"],
+            "resized_bytes": ln.cast(pa.int64()),
+            "ok": pc.not_equal(ln, -1),
+        })
+
+    df = out.map_batches(sizes, batch_format="pyarrow",
+                         batch_size=4096).to_pandas()
+    return df.sort_values("image_id").reset_index(drop=True)
+
+
 def q_images_describe(sf_dir: str) -> pd.DataFrame:
     from .fixtures.images import generate_images_parquet
 
@@ -610,6 +666,7 @@ def build_queries() -> dict:
         "dup_event_groups": lambda d: R.dup_event_groups(d),
         "events_props_k": q_events_props_k,
         "events_session_windows": lambda d: R.session_windows(d),
+        "customers_without_orders": lambda d: R.customers_without_orders(d),
         # text analysis
         "docs_token_stats": q_docs_token_stats,
         "docs_quality_scores": q_docs_quality_scores,
@@ -627,8 +684,11 @@ def build_queries() -> dict:
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_winnow": q_docs_winnow,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "embedding_dup_lsh": q_embedding_dup_lsh,
         "images_quality": q_images_quality,
         "images_describe": q_images_describe,
+        "images_features": q_images_features,
+        "images_resize": q_images_resize,
     }
 
 
@@ -647,6 +707,10 @@ def build_oracles() -> dict:
         "dup_event_groups": SQL_DUP_EVENTS,
         "events_props_k": SQL_EVENTS_PROPS_K,
         "events_session_windows": sql_session_windows(),
+        "customers_without_orders": (
+            "SELECT c_custkey::BIGINT AS c_custkey, c_mktsegment FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+            "WHERE o_orderstatus = 'P') ORDER BY c_custkey"),
         "docs_token_stats": sql_docs_token_stats(),
         "docs_quality_scores": sql_docs_quality_scores(),
         "docs_rules": sql_docs_rules(),

@@ -148,6 +148,40 @@ def top_users_by_value(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return df[["user_id", "total_value_r", "n_events"]]
 
 
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """ANTI-join via broadcast key set (ray_guide 'Semi / anti join'):
+    the orders-side key set ships once; customers stream through a
+    vectorized membership filter. No shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet",
+                      columns=["o_custkey", "o_orderstatus"])
+    keys = t.filter(pc.equal(t["o_orderstatus"], "P"))["o_custkey"]
+    keyset = pa.array(sorted(set(keys.to_pylist())), type=pa.int64())
+    ref = ray.put(keyset)
+
+    class AntiFilter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            hit = pc.is_in(batch["c_custkey"].cast(pa.int64()),
+                           value_set=self.keys)
+            return batch.filter(pc.invert(hit))
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    df = ds.map_batches(AntiFilter, batch_format="pyarrow",
+                        batch_size=65536, concurrency=(1, 4)).to_pandas()
+    if df.empty:
+        return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                             "c_mktsegment": pd.Series(dtype="object")})
+    df["c_custkey"] = df["c_custkey"].astype("int64")
+    return df.sort_values("c_custkey").reset_index(drop=True)
+
+
 def session_windows(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Session windowing per user (streaming-shaped semantics): events
     within `gap_minutes` of the previous event join the same session.
