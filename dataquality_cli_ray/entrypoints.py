@@ -426,7 +426,7 @@ def q_ann_topk(sf_dir: str) -> pd.DataFrame:
     # retrieve k+5 on raw scores, then round → re-rank → cut to k so the
     # ranking matches the oracle (which ranks by the rounded score).
     res = SIM.brute_force_topk(ds, Q, qids, ANN_K + 5).to_pandas()
-    res["score"] = res["score"].round(6)
+    res["score"] = round_half_up(res["score"], 6)
     res = res.sort_values(["query_id", "score", "vec_id"],
                           ascending=[True, False, True])
     res["rank"] = res.groupby("query_id").cumcount() + 1
@@ -436,12 +436,13 @@ def q_ann_topk(sf_dir: str) -> pd.DataFrame:
 
 
 def sql_ann_topk() -> str:
+    cos = "list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[]))"
     return f"""WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
   FROM embeddings ORDER BY vec_id LIMIT {ANN_NQ}),
 s AS (
   SELECT q.query_id, e.vec_id,
-         round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS score
+         {sql_round(cos, 6)} AS score
   FROM q CROSS JOIN embeddings e)
 SELECT query_id, vec_id, score, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
@@ -453,14 +454,15 @@ def q_embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     out = DD.embedding_dup_pairs_bruteforce(
         ds, "embedding", "vec_id", EMB_DUP_THRESHOLD).to_pandas()
-    out["cosine"] = out["cosine"].round(6)
+    out["cosine"] = round_half_up(out["cosine"], 6)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def sql_embedding_dup_pairs() -> str:
+    cos = ("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+           "CAST(b.embedding AS DOUBLE[]))")
     return f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
- round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                              CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+ {sql_round(cos, 6)} AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= {EMB_DUP_THRESHOLD}
@@ -485,8 +487,10 @@ def q_docs_langid(sf_dir: str) -> pd.DataFrame:
 
     train = ds.map_batches(_mod5, batch_format="pyarrow", batch_size=8192)
     model = TQ.train_langid_on_dataset(train, "text", "lang")
-    out = TQ.classify_language(ds, model)
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out = TQ.classify_language(ds, model).to_pandas()
+    # hash-stable floats (golden-parquet oracle compares exact values)
+    out["lang_score"] = round_half_up(out["lang_score"], 6)
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def q_docs_minhash_pairs(sf_dir: str) -> pd.DataFrame:
@@ -547,10 +551,46 @@ def q_docs_winnow(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def sql_docs_ngram_jaccard(threshold: float = 0.5) -> str:
+    """TRUE exact-Jaccard self-join over the char-5-gram shingle sets
+    (lowercased, pad-to-5 for short texts — the exact semantics of
+    ``char_shingle_hashes``; documents are ASCII at sf0.01 so byte vs
+    char shingles agree). LSH recall caveat: the Ray side's candidates
+    come from 16-band/8-row MinHash, whose miss probability at
+    jaccard=s is (1-s^8)^16 — ~8e-6 at the fixture's weakest true pair
+    (s=0.93) but large near the 0.5 threshold; corpora with borderline
+    pairs need the wider banding noted in the query docstring."""
+    jac = "(i::DOUBLE / (sa.n + sb.n - i))"
+    return f"""WITH base AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+pad AS (
+  SELECT doc_id, CASE WHEN length(t) < 5
+                      THEN t || repeat(' ', 5 - length(t)) ELSE t END AS t
+  FROM base),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS g FROM pad),
+sh AS (SELECT DISTINCT doc_id, substr(t, g, 5) AS s FROM pos),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, {sql_round(jac, 6)} AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE {jac} >= {threshold}
+ORDER BY id_a, id_b"""
+
+
 def q_docs_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     """Near-dup pairs with EXACT char-5-gram Jaccard ≥ 0.5 — MinHash-LSH
-    candidates verified against the true shingle sets (broadcast text
-    map; SURVEY §2.7 n-gram-Jaccard dedup)."""
+    candidates verified against the true shingle sets (broadcast of the
+    candidate texts only; SURVEY §2.7 n-gram-Jaccard dedup). Candidate
+    recall at the 0.5 boundary is LSH-bounded (see
+    ``sql_docs_ngram_jaccard``); for guaranteed recall at low
+    thresholds call ``minhash_lsh_pairs(bands=64)`` (rows-per-band 2 →
+    miss ≤ 1e-8 at s=0.5) at ~4× the explode cost."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     cand = DD.minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.4)
@@ -565,7 +605,7 @@ def q_ann_topk_lsh(sf_dir: str) -> pd.DataFrame:
     Q, qids = SIM.load_query_vectors(sf_dir, ANN_NQ)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     res = SIM.lsh_topk(ds, Q, qids, ANN_K, dim=Q.shape[1]).to_pandas()
-    res["score"] = res["score"].round(6)
+    res["score"] = round_half_up(res["score"], 6)
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
@@ -577,8 +617,12 @@ def q_images_quality(sf_dir: str) -> pd.DataFrame:
 
     n = 20000 if "0.1" in sf_dir.rstrip("/").rsplit("sf", 1)[-1] else 2000
     path = generate_images_parquet(n, use_ray=n > 20000)
-    out = images_quality_pipeline(path)
-    return out.to_pandas().sort_values("image_id").reset_index(drop=True)
+    out = images_quality_pipeline(path).to_pandas()
+    # per-row model scores are deterministic; round anyway so the
+    # golden-parquet oracle hash is robust at 6 dp granularity
+    for c in ("lang_score", "ppl"):
+        out[c] = round_half_up(out[c], 6)
+    return out.sort_values("image_id").reset_index(drop=True)
 
 
 def q_embedding_dup_lsh(sf_dir: str) -> pd.DataFrame:
@@ -642,7 +686,56 @@ def q_images_describe(sf_dir: str) -> pd.DataFrame:
 
     path = generate_images_parquet(2000, use_ray=False)
     ds = rd.read_parquet(path, columns=["w", "h", "fmt", "caption", "phash"])
-    return describe(ds).to_pandas()
+    df = describe(ds).to_pandas()
+    # merge-order float noise (Chan mean/std partials) is ~1e-15
+    # relative; round every float column at 6 dp so the golden-parquet
+    # oracle hash is stable across block schedules
+    for c in df.columns:
+        if df[c].dtype == np.float64:
+            df[c] = round_half_up(df[c], 6)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# golden-parquet oracles for deterministic non-SQL-expressible queries
+# ---------------------------------------------------------------------------
+# These queries are seeded/deterministic end to end (fixture rows from
+# default_rng([seed, row_id]), seeded hash families, per-row float
+# kernels, 6-dp rounded outputs), so a pinned parquet snapshot of their
+# sf0.01 output is a regression oracle: DuckDB reads the snapshot, the
+# driver hash-compares it against the live Ray run. Regenerate with
+# scripts/make_golden.py after INTENTIONAL algorithm changes.
+
+GOLDEN_QUERIES = [
+    "docs_langid",
+    "docs_minhash_pairs",
+    "docs_simhash_pairs",
+    "docs_winnow",
+    "ann_topk_lsh",
+    "embedding_dup_lsh",
+    "images_quality",
+    "images_describe",
+    "images_features",
+    "images_resize",
+]
+
+
+def _golden_path(name: str) -> str:
+    import os
+
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures", "golden_data", f"{name}.parquet")
+
+
+def golden_oracles() -> dict:
+    import os
+
+    out = {}
+    for name in GOLDEN_QUERIES:
+        p = _golden_path(name)
+        if os.path.exists(p):
+            out[name] = f"SELECT * FROM read_parquet('{p}')"
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -719,4 +812,6 @@ def build_oracles() -> dict:
         "docs_fingerprints": sql_docs_fingerprints(),
         "ann_topk": sql_ann_topk(),
         "embedding_dup_pairs": sql_embedding_dup_pairs(),
+        "docs_ngram_jaccard": sql_docs_ngram_jaccard(),
+        **golden_oracles(),
     }

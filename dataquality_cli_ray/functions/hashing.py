@@ -49,6 +49,68 @@ def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     return np.unique(h)
 
 
+def char_shingle_hashes_batch(
+    texts, k: int = 5
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling FNV-1a k-char shingle hashes for a WHOLE batch of texts
+    in one vectorized pass: returns ``(hashes, offsets)`` where doc i's
+    shingles are ``hashes[offsets[i]:offsets[i+1]]`` (positional order,
+    NOT deduplicated — dedupe with :func:`dedupe_per_doc` when set
+    semantics are needed; MinHash minima are unaffected by duplicates).
+
+    Texts are concatenated into one byte array; the rolling hash is
+    computed over the concatenation with k vector ops total, then
+    windows crossing document boundaries are discarded by a vectorized
+    gather. Matches :func:`char_shingle_hashes` value-for-value
+    (including the pad-to-k behavior for short/empty texts)."""
+    bs = []
+    for t in texts:
+        b = (t or "").lower().encode("utf-8", "ignore")
+        if len(b) < k:
+            b = b + b" " * (k - len(b))
+        bs.append(b)
+    if not bs:
+        return np.empty(0, dtype=np.uint64), np.zeros(1, dtype=np.int64)
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+    arr = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    n = len(arr) - k + 1
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h = (h ^ arr[j : n + j].astype(np.uint64)) * _FNV_PRIME
+    # valid window starts per doc: [start_d, start_d + len_d - k]
+    counts = lens - k + 1
+    starts = np.zeros(len(bs), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    offsets = np.zeros(len(bs) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    total = int(offsets[-1])
+    idx = (np.arange(total, dtype=np.int64)
+           - np.repeat(offsets[:-1], counts)
+           + np.repeat(starts, counts))
+    return h[idx], offsets
+
+
+def dedupe_per_doc(
+    hashes: np.ndarray, offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-document distinct (sorted) hash sets from a batched
+    (hashes, offsets) pair — the vectorized analogue of the
+    ``np.unique`` in :func:`char_shingle_hashes`."""
+    n_docs = len(offsets) - 1
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
+    order = np.lexsort((hashes, doc_idx))
+    h, d = hashes[order], doc_idx[order]
+    keep = np.ones(len(h), dtype=bool)
+    if len(h) > 1:
+        keep[1:] = (h[1:] != h[:-1]) | (d[1:] != d[:-1])
+    h, d = h[keep], d[keep]
+    counts = np.bincount(d, minlength=n_docs)
+    new_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=new_offsets[1:])
+    return h, new_offsets
+
+
 def word_shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Distinct hashes of word k-grams (uint64)."""
     words = text.lower().split()
@@ -64,8 +126,13 @@ def word_shingle_hashes(text: str, k: int = 3) -> np.ndarray:
 class MinHasher:
     """num_perm-wise MinHash over uint64 shingle hash sets.
 
-    Universal hashing h_i(x) = (a_i * x + b_i) mod p (p = 2^61 - 1),
-    seeded deterministically; mergeable across batches/workers.
+    Per-permutation mixing h_i(x) = ((a_i * x + b_i) wrapped mod 2^64)
+    mod p (p = 2^61 - 1), seeded deterministically; mergeable across
+    batches/workers. NOTE: because the multiply wraps mod 2^64 before
+    the mod-p reduction, this is a deterministic mixing hash, not a true
+    universal-hash family — Jaccard estimates carry a small extra bias
+    beyond the 1/sqrt(num_perm) sampling error (acceptable for LSH
+    candidate generation; exact verification follows anyway).
     """
 
     def __init__(self, num_perm: int = 128, seed: int = 42):
@@ -83,6 +150,36 @@ class MinHasher:
             vals = (x * self.a[None, :] + self.b[None, :]) % MERSENNE61
         return vals.min(axis=0)
 
+    def signatures_batch(
+        self, hashes: np.ndarray, offsets: np.ndarray,
+        chunk_shingles: int = 65536,
+    ) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signatures for a whole batch of
+        shingle sets at once (``hashes``/``offsets`` as produced by
+        :func:`char_shingle_hashes_batch`). Chunked so the intermediate
+        (shingles × num_perm) hash matrix stays ≤ ~64 MB; per-doc minima
+        via ``np.minimum.reduceat`` — no per-document Python loop.
+        Value-identical to calling :meth:`signature` per document."""
+        n_docs = len(offsets) - 1
+        out = np.empty((n_docs, self.num_perm), dtype=np.uint64)
+        d0 = 0
+        while d0 < n_docs:
+            d1 = d0 + 1
+            while d1 < n_docs and offsets[d1 + 1] - offsets[d0] <= chunk_shingles:
+                d1 += 1
+            seg = hashes[offsets[d0]:offsets[d1]]
+            if len(seg) == 0:
+                out[d0:d1] = int(MERSENNE61)
+                d0 = d1
+                continue
+            x = (seg & MERSENNE61)[:, None].astype(np.uint64)
+            with np.errstate(over="ignore"):
+                H = (x * self.a[None, :] + self.b[None, :]) % MERSENNE61
+            starts = (offsets[d0:d1] - offsets[d0]).astype(np.int64)
+            out[d0:d1] = np.minimum.reduceat(H, starts, axis=0)
+            d0 = d1
+        return out
+
     def band_keys(self, sig: np.ndarray, bands: int) -> np.ndarray:
         """Hash each of `bands` row-groups of the signature to one uint64
         LSH bucket key (band index folded in)."""
@@ -95,6 +192,21 @@ class MinHasher:
                 for v in chunk:
                     h = (h ^ v) * _FNV_PRIME
             keys[bi] = h
+        return keys
+
+    def band_keys_batch(self, sigs: np.ndarray, bands: int) -> np.ndarray:
+        """(n_docs, bands) uint64 LSH keys for a signature matrix —
+        vectorized over documents (loop is bands × rows = num_perm
+        vector ops). Value-identical to :meth:`band_keys` per row."""
+        rows = self.num_perm // bands
+        n = len(sigs)
+        keys = np.empty((n, bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for bi in range(bands):
+                h = np.full(n, _FNV_OFFSET ^ np.uint64(bi), dtype=np.uint64)
+                for r in range(rows):
+                    h = (h ^ sigs[:, bi * rows + r]) * _FNV_PRIME
+                keys[:, bi] = h
         return keys
 
 
@@ -110,6 +222,40 @@ def simhash64(shingles: np.ndarray) -> int:
             out |= np.uint64(1) << np.uint64(i)
     # two's-complement int64 so the value fits Arrow int64 columns
     return int(np.array([out], dtype=np.uint64).view(np.int64)[0])
+
+
+def simhash64_batch(hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """(n_docs,) int64 SimHashes for a batch of DISTINCT shingle sets
+    (``hashes``/``offsets`` per :func:`dedupe_per_doc` — duplicates
+    change SimHash votes, so dedupe first to match :func:`simhash64`).
+    Bit votes are summed per document with ``np.add.reduceat``; chunked
+    so the (shingles × 64) bit matrix stays small."""
+    n_docs = len(offsets) - 1
+    counts = np.diff(offsets)
+    votes = np.zeros((n_docs, 64), dtype=np.int64)
+    d0 = 0
+    chunk_shingles = 131072
+    while d0 < n_docs:
+        d1 = d0 + 1
+        while d1 < n_docs and offsets[d1 + 1] - offsets[d0] <= chunk_shingles:
+            d1 += 1
+        seg = hashes[offsets[d0]:offsets[d1]]
+        if len(seg):
+            bits = ((seg[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            starts = (offsets[d0:d1] - offsets[d0]).astype(np.int64)
+            # reduceat mis-handles empty leading segments; guaranteed
+            # non-empty docs here is NOT assumed — mask below fixes them
+            nonempty = counts[d0:d1] > 0
+            red = np.add.reduceat(bits, np.minimum(starts, len(seg) - 1), axis=0)
+            votes[d0:d1][nonempty] = red[nonempty]
+        d0 = d1
+    sign = votes * 2 - counts[:, None]
+    out = np.zeros(n_docs, dtype=np.uint64)
+    for i in range(64):
+        out |= (sign[:, i] > 0).astype(np.uint64) << np.uint64(i)
+    out[counts == 0] = 0
+    return out.view(np.int64)
 
 
 def hamming64(a: np.ndarray, b: np.ndarray | int) -> np.ndarray:

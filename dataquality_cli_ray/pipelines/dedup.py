@@ -18,9 +18,57 @@ Skew/scale notes:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+logger = logging.getLogger(__name__)
+
+
+# per-WORKER-PROCESS cache for stateless-task stages: Ray reuses worker
+# processes across tasks, so broadcast objects / seeded hash families
+# load once per worker — the actor-pool `__init__` semantics without
+# paying fixed-pool spin-up on every (often tiny) dedup job.
+_WORKER_CACHE: dict = {}
+
+
+def _cached(key, factory):
+    v = _WORKER_CACHE.get(key)
+    if v is None:
+        v = factory()
+        if len(_WORKER_CACHE) > 32:
+            _WORKER_CACHE.clear()
+        _WORKER_CACHE[key] = v
+    return v
+
+
+def _cached_ref(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    return _cached(("ref", key), lambda: ray.get(ref))
+
+
+def _keep_keys_fn(batch: pa.Table, *, keys_ref, key_col: str) -> pa.Table:
+    keys = _cached_ref(keys_ref)
+    kk = batch[key_col].to_numpy(zero_copy_only=False)
+    if len(keys) == 0:
+        mask = np.zeros(len(batch), dtype=bool)
+    else:
+        idx = np.clip(np.searchsorted(keys, kk), 0, len(keys) - 1)
+        mask = keys[idx] == kk
+    return batch.filter(pa.array(mask))
+
+
+def _cap_bucket(g: pd.DataFrame, max_bucket: int, what: str) -> pd.DataFrame:
+    """Deterministically truncate an oversized LSH bucket, LOGGING the
+    drop (no silent caps): the dropped rows can't form pairs this round,
+    so recall for them falls back to other bands/blocks."""
+    if len(g) > max_bucket:
+        logger.warning("%s bucket overflow: %d rows > cap %d, dropping %d",
+                       what, len(g), max_bucket, len(g) - max_bucket)
+        g = g.head(max_bucket)
+    return g
 
 import ray
 import ray.data as rd
@@ -29,9 +77,12 @@ from ray.data.aggregate import Min, Sum
 from ..functions.hashing import (
     MinHasher,
     char_shingle_hashes,
+    char_shingle_hashes_batch,
+    dedupe_per_doc,
     hamming64,
     jaccard,
     simhash64,
+    simhash64_batch,
     stable_hash64_array,
 )
 
@@ -90,10 +141,11 @@ def _keep_nonsingleton_buckets(exploded: "rd.Dataset", key_col: str) -> "rd.Data
     near-singleton by design). Without this, ``map_groups`` pays one
     Python/pandas call per singleton group.
 
-    Counting is a per-batch combiner + driver merge (key space ≈
-    rows × bands ids, each 8 bytes). At 100 TB swap the driver merge for
-    a ``groupby(key).count()`` shuffle over the combined counts — the
-    downstream filter is unchanged (broadcast key set / bloom filter).
+    Counting: per-batch combiner (one (key, cnt) row per key per batch)
+    → ``groupby(key).sum`` shuffle → filter cnt > 1. Only the surviving
+    non-singleton keys (≈ candidate duplicates, tiny by design) are
+    collected and broadcast as a sorted key array — no O(rows × bands)
+    driver state on the dedup path.
     """
     # the exploded projection is consumed twice (count + filter); pin it
     # in the object store so signatures aren't recomputed — it holds only
@@ -104,32 +156,49 @@ def _keep_nonsingleton_buckets(exploded: "rd.Dataset", key_col: str) -> "rd.Data
         g = batch.select([key_col]).group_by(key_col).aggregate([(key_col, "count")])
         return g.rename_columns([key_col, "cnt"])
 
-    counts: dict[int, int] = {}
-    for b in exploded.select_columns([key_col]).map_batches(
-            cnt, batch_format="pyarrow", batch_size=65536).iter_batches(
-            batch_size=65536, batch_format="pyarrow"):
-        for k, c in zip(b[key_col].to_pylist(), b["cnt"].to_pylist()):
-            counts[k] = counts.get(k, 0) + c
-    keys = np.fromiter((k for k, c in counts.items() if c > 1),
-                       dtype=np.int64)
-    keys_ref = ray.put(np.sort(keys))
+    hot = (
+        exploded.select_columns([key_col])
+        .map_batches(cnt, batch_format="pyarrow", batch_size=65536)
+        .groupby(key_col)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .filter(expr="cnt > 1")
+    )
+    key_chunks = [b[key_col].to_numpy(zero_copy_only=False)
+                  for b in hot.iter_batches(batch_size=65536,
+                                            batch_format="pyarrow")]
+    keys = (np.sort(np.concatenate(key_chunks)) if key_chunks
+            else np.empty(0, dtype=np.int64))
+    keys_ref = ray.put(keys)
 
-    class KeepHot:
-        def __init__(self):
-            self.keys = ray.get(keys_ref)
+    return exploded.map_batches(
+        _keep_keys_fn, fn_kwargs={"keys_ref": keys_ref, "key_col": key_col},
+        batch_format="pyarrow", batch_size=65536)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            kk = batch[key_col].to_numpy(zero_copy_only=False)
-            if len(self.keys) == 0:
-                mask = np.zeros(len(batch), dtype=bool)
-            else:
-                idx = np.clip(np.searchsorted(self.keys, kk), 0,
-                              len(self.keys) - 1)
-                mask = self.keys[idx] == kk
-            return batch.filter(pa.array(mask))
 
-    return exploded.map_batches(KeepHot, batch_format="pyarrow",
-                                batch_size=65536, concurrency=(1, 4))
+def semi_join_filter(
+    ds: "rd.Dataset", keys_ds: "rd.Dataset", key_col: str,
+    num_partitions: int = 64, anti: bool = False,
+) -> "rd.Dataset":
+    """Distributed semi-join (anti=True: anti-join) membership filter:
+    keep rows of ``ds`` whose ``key_col`` appears (resp. does not
+    appear) in ``keys_ds`` — a hash-partitioned ``Dataset.join``, with
+    NO driver-side key set. This is the 100 TB fallback for broadcast
+    membership filters (e.g. the phash loser set) once the key set
+    outgrows a single ``ray.put``; both sides shuffle only their key
+    (+carried) columns."""
+    from ray.data.aggregate import Count
+
+    marker = keys_ds.select_columns([key_col]).groupby(key_col).aggregate(
+        Count(alias_name="__hit"))
+    joined = ds.join(marker, join_type="left_outer",
+                     num_partitions=num_partitions, on=(key_col,))
+
+    def keep(t: pa.Table) -> pa.Table:
+        hit = pa.compute.is_valid(t["__hit"])
+        mask = pa.compute.invert(hit) if anti else hit
+        return t.filter(mask).drop_columns(["__hit"])
+
+    return joined.map_batches(keep, batch_format="pyarrow", batch_size=65536)
 
 
 # ------------------------------------------------------------- minhash
@@ -138,7 +207,14 @@ def _keep_nonsingleton_buckets(exploded: "rd.Dataset", key_col: str) -> "rd.Data
 class MinHashStage:
     """Actor-pool stage: text → 128-perm MinHash signature, exploded to
     one row per LSH band: (band_key:uint64->int64, doc_id, sig:binary).
-    The MinHasher's permutation coefficients are built once per actor."""
+    The MinHasher's permutation coefficients are built once per actor.
+
+    Fully batched: shingling is one rolling-hash pass over the
+    concatenated batch (char_shingle_hashes_batch), signatures are one
+    chunked (shingles × num_perm) hash + ``np.minimum.reduceat``, and
+    the exploded table is built with numpy repeat — no per-document
+    Python loop (duplicate shingles don't change minima, so the batch
+    path skips the per-doc np.unique and stays value-identical)."""
 
     def __init__(self, text_col: str, id_col: str, num_perm: int = 128,
                  bands: int = 16, shingle_k: int = 5, seed: int = 42):
@@ -149,27 +225,27 @@ class MinHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        ids = batch[self.id_col].to_pylist()
-        keys, out_ids, sigs = [], [], []
-        for i, t in enumerate(texts):
-            sh = char_shingle_hashes(t or "", self.shingle_k)
-            sig = self.mh.signature(sh)
-            bk = self.mh.band_keys(sig, self.bands)
-            sb = sig.tobytes()
-            for k in bk:
-                keys.append(np.int64(np.uint64(k) >> np.uint64(1)))
-                out_ids.append(ids[i])
-                sigs.append(sb)
+        hashes, offsets = char_shingle_hashes_batch(texts, self.shingle_k)
+        sigs = self.mh.signatures_batch(hashes, offsets)      # (n, perm)
+        keys = self.mh.band_keys_batch(sigs, self.bands)      # (n, bands)
+        n = len(texts)
+        ids = batch[self.id_col].combine_chunks()
+        out_ids = ids.take(pa.array(np.repeat(np.arange(n), self.bands)))
+        sig_bytes = np.empty(n, dtype=object)
+        for i in range(n):                    # one .tobytes() per doc
+            sig_bytes[i] = sigs[i].tobytes()
         return pa.table({
-            "band_key": pa.array(keys, type=pa.int64()),
-            "doc_id": pa.array(out_ids),
-            "sig": pa.array(sigs, type=pa.binary()),
+            "band_key": pa.array((keys >> np.uint64(1)).astype(np.int64).ravel(),
+                                 type=pa.int64()),
+            "doc_id": out_ids,
+            "sig": pa.array(np.repeat(sig_bytes, self.bands), type=pa.binary()),
         })
 
 
 def _bucket_pairs(g: pd.DataFrame, threshold: float, max_bucket: int) -> pd.DataFrame:
     """All-pairs signature-estimated Jaccard within one LSH bucket."""
-    g = g.drop_duplicates("doc_id").sort_values("doc_id").head(max_bucket)
+    g = _cap_bucket(g.drop_duplicates("doc_id").sort_values("doc_id"),
+                    max_bucket, "minhash")
     n = len(g)
     if n < 2:
         return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
@@ -193,12 +269,15 @@ def minhash_lsh_pairs(
 ) -> "rd.Dataset":
     """Candidate near-dup pairs (id_a < id_b, est_jaccard ≥ threshold),
     deduplicated across bands. Shuffles only (band_key, id, 1KB sig)."""
+    def explode(batch: pa.Table) -> pa.Table:
+        stage = _cached(("minhash", text_col, id_col, num_perm, bands,
+                         shingle_k),
+                        lambda: MinHashStage(text_col, id_col, num_perm,
+                                             bands, shingle_k))
+        return stage(batch)
+
     exploded = ds.select_columns([text_col, id_col]).map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col,
-                                   num_perm=num_perm, bands=bands,
-                                   shingle_k=shingle_k),
-        batch_format="pyarrow", batch_size=1024, concurrency=(2, 8),
+        explode, batch_format="pyarrow", batch_size=4096,
     )
     exploded = _keep_nonsingleton_buckets(exploded, "band_key")
     pairs = exploded.groupby("band_key").map_groups(
@@ -217,31 +296,46 @@ def verify_pairs_exact_jaccard(
     shingle_k: int = 5, threshold: float = 0.7,
 ) -> "rd.Dataset":
     """Exact-Jaccard verification of candidate pairs via a broadcast
-    id→text map (candidates ≪ corpus; for corpora where even the
-    candidate doc set outgrows memory, replace with a hash-bucketed
-    join of pairs to texts — same verification, bucketed)."""
-    texts = {}
-    for b in docs_ds.select_columns([id_col, text_col]).iter_batches(
+    id→text map holding ONLY ids that appear in ``pairs`` (candidates ≪
+    corpus — the broadcast is O(candidate docs), not O(corpus); for
+    corpora where even the candidate doc set outgrows memory, replace
+    with a hash-bucketed join of pairs to texts — same verification,
+    bucketed)."""
+    # pairs is consumed twice (id collection + verification) — pin the
+    # small pair table so the upstream LSH work isn't recomputed
+    pairs = pairs.materialize()
+    # 1) distinct candidate ids from the (small) pairs dataset
+    cand_ids: set = set()
+    for b in pairs.select_columns(["id_a", "id_b"]).iter_batches(
             batch_size=65536, batch_format="pyarrow"):
+        cand_ids.update(b["id_a"].to_pylist())
+        cand_ids.update(b["id_b"].to_pylist())
+    if not cand_ids:
+        return pairs.map_batches(
+            lambda t: t.append_column("jaccard", pa.array([], type=pa.float64())),
+            batch_format="pyarrow")
+    id_set = pa.array(sorted(cand_ids))
+    # 2) filtered scan: fetch texts only for candidate ids
+    texts: dict = {}
+    filtered = docs_ds.select_columns([id_col, text_col]).map_batches(
+        lambda t: t.filter(pa.compute.is_in(t[id_col], value_set=id_set)),
+        batch_format="pyarrow", batch_size=65536)
+    for b in filtered.iter_batches(batch_size=65536, batch_format="pyarrow"):
         for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
             texts[i] = t
     ref = ray.put(texts)
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(ref)
+    def verify(batch: pa.Table) -> pa.Table:
+        tmap = _cached_ref(ref)
+        ja = []
+        for a, b_ in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
+            sa = char_shingle_hashes(tmap.get(a) or "", shingle_k)
+            sb = char_shingle_hashes(tmap.get(b_) or "", shingle_k)
+            ja.append(jaccard(sa, sb))
+        out = batch.append_column("jaccard", pa.array(ja, type=pa.float64()))
+        return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ja = []
-            for a, b_ in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
-                sa = char_shingle_hashes(self.texts.get(a) or "", shingle_k)
-                sb = char_shingle_hashes(self.texts.get(b_) or "", shingle_k)
-                ja.append(jaccard(sa, sb))
-            out = batch.append_column("jaccard", pa.array(ja, type=pa.float64()))
-            return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
-
-    return pairs.map_batches(Verify, batch_format="pyarrow", batch_size=4096,
-                             concurrency=(1, 4))
+    return pairs.map_batches(verify, batch_format="pyarrow", batch_size=4096)
 
 
 # ------------------------------------------------------------- simhash
@@ -257,20 +351,21 @@ class SimHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        ids = batch[self.id_col].to_pylist()
-        keys, out_ids, hashes = [], [], []
-        for i, t in enumerate(texts):
-            sh = simhash64(char_shingle_hashes(t or "", self.shingle_k))
-            u = np.uint64(sh)
-            for blk in range(4):
-                part = int((u >> np.uint64(16 * blk)) & np.uint64(0xFFFF))
-                keys.append((blk << 16) | part)
-                out_ids.append(ids[i])
-                hashes.append(sh)
+        sh, off = char_shingle_hashes_batch(texts, self.shingle_k)
+        sh, off = dedupe_per_doc(sh, off)      # SimHash votes need sets
+        sims = simhash64_batch(sh, off)        # (n,) int64
+        n = len(texts)
+        u = sims.view(np.uint64)
+        # 4 × 16-bit blocking keys per doc, doc-major to match groupby
+        blk = np.arange(4, dtype=np.uint64)
+        parts = (u[:, None] >> (np.uint64(16) * blk[None, :])) & np.uint64(0xFFFF)
+        keys = ((blk[None, :] << np.uint64(16)) | parts).astype(np.int64)
+        ids = batch[self.id_col].combine_chunks()
+        out_ids = ids.take(pa.array(np.repeat(np.arange(n), 4)))
         return pa.table({
-            "block_key": pa.array(keys, type=pa.int64()),
-            "doc_id": pa.array(out_ids),
-            "simhash": pa.array(hashes, type=pa.int64()),
+            "block_key": pa.array(keys.ravel(), type=pa.int64()),
+            "doc_id": out_ids,
+            "simhash": pa.array(np.repeat(sims, 4), type=pa.int64()),
         })
 
 
@@ -281,7 +376,8 @@ def simhash_pairs(
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming."""
 
     def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id").head(max_bucket)
+        g = _cap_bucket(g.drop_duplicates("doc_id").sort_values("doc_id"),
+                        max_bucket, "simhash")
         n = len(g)
         if n < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
@@ -295,11 +391,13 @@ def simhash_pairs(
                 ia.append(ids[i]); ib.append(ids[i + 1 + j]); hm.append(int(d[j]))
         return pd.DataFrame({"id_a": ia, "id_b": ib, "hamming": hm})
 
+    def explode(batch: pa.Table) -> pa.Table:
+        stage = _cached(("simhash", text_col, id_col, shingle_k),
+                        lambda: SimHashStage(text_col, id_col, shingle_k))
+        return stage(batch)
+
     exploded = ds.select_columns([text_col, id_col]).map_batches(
-        SimHashStage,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col,
-                                   shingle_k=shingle_k),
-        batch_format="pyarrow", batch_size=1024, concurrency=(2, 8),
+        explode, batch_format="pyarrow", batch_size=4096,
     )
     exploded = _keep_nonsingleton_buckets(exploded, "block_key")
     pairs = exploded.groupby("block_key").map_groups(bucket, batch_format="pandas")
@@ -346,29 +444,26 @@ def embedding_dup_pairs_bruteforce(
     M, all_ids = M[order], all_ids[order]
     ref = ray.put((all_ids, M))
 
-    class Pairs:
-        def __init__(self):
-            self.ids, self.M = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            q = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
-            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-            qids = np.asarray(batch[id_col].to_pylist())
-            sims = q @ self.M.T
-            ia, ib, cs = [], [], []
-            for i in range(len(qids)):
-                hit = np.nonzero(sims[i] >= threshold)[0]
-                for j in hit:
-                    if qids[i] < self.ids[j]:
-                        ia.append(qids[i]); ib.append(self.ids[j])
-                        cs.append(float(sims[i, j]))
-            return pa.table({
-                "id_a": pa.array(ia), "id_b": pa.array(ib),
-                "cosine": pa.array(cs, type=pa.float64()),
-            })
+    def pairs_fn(batch: pa.Table) -> pa.Table:
+        ids_b, M_b = _cached_ref(ref)
+        q = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        qids = np.asarray(batch[id_col].to_pylist())
+        sims = q @ M_b.T
+        ia, ib, cs = [], [], []
+        for i in range(len(qids)):
+            hit = np.nonzero(sims[i] >= threshold)[0]
+            for j in hit:
+                if qids[i] < ids_b[j]:
+                    ia.append(qids[i]); ib.append(ids_b[j])
+                    cs.append(float(sims[i, j]))
+        return pa.table({
+            "id_a": pa.array(ia), "id_b": pa.array(ib),
+            "cosine": pa.array(cs, type=pa.float64()),
+        })
 
     return ds.select_columns([id_col, vec_col]).map_batches(
-        Pairs, batch_format="pyarrow", batch_size=2048, concurrency=(2, 8),
+        pairs_fn, batch_format="pyarrow", batch_size=2048,
     )
 
 
@@ -399,7 +494,7 @@ def embedding_dup_pairs_lsh(
     Recall < 1 by construction (reported vs brute force in tests)."""
 
     def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).head(max_bucket)
+        g = _cap_bucket(g.sort_values(id_col), max_bucket, "embedding-lsh")
         n = len(g)
         if n < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
@@ -414,10 +509,12 @@ def embedding_dup_pairs_lsh(
             "cosine": sims[iu][hit],
         })
 
+    def add_key(batch: pa.Table) -> pa.Table:
+        stage = _cached(("hplsh", vec_col, id_col, dim, nbits),
+                        lambda: _HyperplaneLSH(vec_col, id_col, dim, nbits))
+        return stage(batch)
+
     keyed = ds.select_columns([id_col, vec_col]).map_batches(
-        _HyperplaneLSH,
-        fn_constructor_kwargs=dict(vec_col=vec_col, id_col=id_col, dim=dim,
-                                   nbits=nbits),
-        batch_format="pyarrow", batch_size=4096, concurrency=(2, 8),
+        add_key, batch_format="pyarrow", batch_size=4096,
     )
     return keyed.groupby("lsh_key").map_groups(bucket, batch_format="pandas")

@@ -4,33 +4,47 @@ over image+caption tables (BASELINE.json north rule).
 Stage graph (all lazy, streaming, backpressured):
 
     read_parquet (pruned)                       source tasks
-      → HeuristicRules                          stateless map_batches (Arrow kernels)
-      → DecodeImageStage                        map_batches, small batches (binary rows)
-      → LangIdScorer                            ACTOR POOL (model shipped once via ray.put)
-      → PerplexityScorer                        ACTOR POOL
-      → PiiScrubber                             stateless map_batches (RE2 kernels)
-      → mark_dup_losers                         broadcast loser-set lookup (no row shuffle)
-      → finalize_decision                       stateless map_batches
+      → QualityFusedStage                       rules → decode → drop bytes
+                                                → langid → perplexity → scrub
+                                                (tasks w/ per-worker model
+                                                cache, or an actor pool)
+      → mark dup + finalize_decision            broadcast loser map (default)
+                                                or distributed left join
 
-The ONLY wide operation is the phash-dedup aggregation, and it never
-moves image bytes: a separate column-pruned scan of (phash, image_id)
-is pre-combined per batch (one row per phash per batch — this bounds a
-hot phash's group to ≤ #blocks, the combiner playing the role of salted
-two-phase groupby), then ``groupby(phash)`` over the tiny combined rows
-(reference analogue: dedup is a *(doc claim)* at ``CLAUDE.md:27``; the
-groupby-keep-first shape is SURVEY.md §2.7/A10).
+The dup pre-pass (a column-pruned scan of (phash, image_id) that never
+touches image bytes) runs CONCURRENTLY with the main scan as a detached
+Ray task; only the final cheap mark+finalize stage waits on its result,
+so the model stage overlaps the dedup aggregation completely.
+
+Per-batch pre-aggregation (one row per phash per batch) bounds a hot
+phash's group to ≤ #blocks — the combiner playing the role of salted
+two-phase groupby (reference analogue: dedup is a *(doc claim)* at
+``CLAUDE.md:27``; the groupby-keep-first shape is SURVEY.md §2.7/A10).
+
+Execution-model note (tasks vs actor pool): both are supported
+(``compute=``). Stateless tasks with a per-worker-process model cache
+are the default — Ray reuses worker processes, so models still load
+once per worker, but there is no fixed pool to fill, no pool-width
+tuning, and the scheduler load-balances blocks across every CPU (the
+fixed pool left ~25 % of the cluster idle and paid seconds of actor
+spin-up per run — measured, see BASELINE.md). The actor-pool path is
+kept for stages whose state is too heavy for lazy first-call loading.
 
 Scale notes (100 TB):
-- The loser set broadcast holds only ids of rows that LOSE a dup group
-  (≈ dup fraction × N). When that outgrows driver memory, switch
-  ``mark_dup_losers`` to the bucketed-join variant in
-  ``pipelines.dedup.semi_join_filter`` (same decision, hash-bucketed).
+- The loser-map broadcast holds only phashes that HAVE a duplicate
+  (≈ dup fraction × N). ``phash_dup_losers(mode="auto")`` switches the
+  aggregation from driver-merge to a ``groupby`` shuffle above a
+  footer-row threshold, and ``images_quality_pipeline(dedup_mode=
+  "join")`` replaces the broadcast entirely with a hash-partitioned
+  ``Dataset.join`` (see also ``pipelines.dedup.semi_join_filter``) —
+  no driver-side dup state at any size.
 - Image bytes never enter a shuffle; caption stages are Arrow
-  zero-copy; models ship once per actor.
+  zero-copy; models ship once per worker/actor.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -49,6 +63,10 @@ OUTPUT_COLS = [
     "image_id", "keep", "drop_reason", "caption_scrubbed",
     "lang_pred", "lang_score", "ppl", "pii_hits", "phash",
 ]
+
+# rows above which the dup aggregation stops merging on the driver and
+# uses the groupby shuffle instead (mode="auto")
+DUP_SHUFFLE_THRESHOLD_ROWS = 5_000_000
 
 
 def _parquet_rows(path: str) -> int:
@@ -98,25 +116,48 @@ class _DupCombiner:
         return g.rename_columns(["phash", "winner", "cnt"])
 
 
-def phash_dup_losers(proj_ds: "rd.Dataset", mode: str = "driver") -> dict[int, str]:
+def _dup_combined(proj_ds: "rd.Dataset") -> "rd.Dataset":
+    return proj_ds.map_batches(
+        _DupCombiner(), batch_format="pyarrow", batch_size=65536,
+        zero_copy_batch=True,
+    )
+
+
+def dup_groups_dataset(proj_ds: "rd.Dataset") -> "rd.Dataset":
+    """(phash, winner) for every phash with count > 1, as a DATASET —
+    the fully distributed dup decision (feeds the join-based marking;
+    only (phash, winner, cnt) combiner rows ever shuffle)."""
+    agg = _dup_combined(proj_ds).repartition(64).groupby("phash").aggregate(
+        Min("winner", alias_name="winner"),
+        Sum("cnt", alias_name="cnt"),
+    )
+    return agg.filter(expr="cnt > 1").select_columns(["phash", "winner"])
+
+
+def phash_dup_losers(proj_ds: "rd.Dataset", mode: str = "auto",
+                     approx_rows: int | None = None) -> dict[int, str]:
     """phash → winning image_id for every phash with count > 1.
 
     proj_ds must contain exactly (phash, image_id) — the caller does a
     column-pruned read so bytes never flow through this aggregation.
 
-    modes (the per-batch combiner runs in both — one row per phash per
+    modes (the per-batch combiner runs in all — one row per phash per
     batch, bounding a hot key's contribution to ≤ #blocks):
-    - "driver": stream the combined rows to the driver and merge dicts.
-      O(#distinct phash) driver memory — the fast path while the key
-      space fits one machine (it does for the sandbox benches).
-    - "shuffle": ``groupby(phash)`` over the combined rows (coalesced
-      first: Ray's sort-shuffle cost grows with input block count).
-      The 100 TB path — only (phash, winner, cnt) rows ever shuffle.
+    - "auto": "driver" below DUP_SHUFFLE_THRESHOLD_ROWS (pass
+      approx_rows from parquet footers; unknown → driver), else
+      "shuffle".
+    - "driver": stream the combined rows to the driver and merge,
+      vectorized on the int64 key. O(#distinct phash) driver memory —
+      the fast path while the key space fits one machine.
+    - "shuffle": ``groupby(phash)`` over the combined rows — the
+      100 TB path; only dup keys (cnt > 1) ever reach the driver dict.
+      (For corpora where even the LOSER set outgrows a broadcast, use
+      ``dup_groups_dataset`` + the join-based marking instead.)
     """
-    combined = proj_ds.map_batches(
-        _DupCombiner(), batch_format="pyarrow", batch_size=65536,
-        zero_copy_batch=True,
-    )
+    if mode == "auto":
+        mode = ("shuffle" if approx_rows is not None
+                and approx_rows > DUP_SHUFFLE_THRESHOLD_ROWS else "driver")
+    combined = _dup_combined(proj_ds)
     if mode == "shuffle":
         agg = combined.repartition(64).groupby("phash").aggregate(
             Min("winner", alias_name="winner"),
@@ -128,7 +169,6 @@ def phash_dup_losers(proj_ds: "rd.Dataset", mode: str = "driver") -> dict[int, s
             for ph, w in zip(b["phash"].to_pylist(), b["winner"].to_pylist()):
                 out[ph] = w
         return out
-    import numpy as np
     import pandas as pd
 
     # driver merge, fully vectorized on the int64 key. A naive groupby
@@ -151,62 +191,71 @@ def phash_dup_losers(proj_ds: "rd.Dataset", mode: str = "driver") -> dict[int, s
     dup_sorted = np.sort(dup_keys)
     idx = np.clip(np.searchsorted(dup_sorted, ph), 0, len(dup_sorted) - 1)
     mask = dup_sorted[idx] == ph
-    import pyarrow as _pa
-    winners_all = _pa.concat_arrays(
-        [w.combine_chunks() if isinstance(w, _pa.ChunkedArray) else w
+    winners_all = pa.concat_arrays(
+        [w.combine_chunks() if isinstance(w, pa.ChunkedArray) else w
          for w in w_l])
-    sub_w = np.asarray(winners_all.filter(_pa.array(mask)).to_pylist(),
+    sub_w = np.asarray(winners_all.filter(pa.array(mask)).to_pylist(),
                        dtype=object)
     sub_ph = ph[mask]
     g = pd.Series(sub_w).groupby(pd.Series(sub_ph), sort=False).min()
     return dict(zip(g.index.to_numpy(), g.to_numpy()))
 
 
-class _MarkDupStage:
-    """Broadcast-lookup stage: rule_phash_dup = (phash in dup set) and
-    (image_id != winner). The dup map ships to each worker once as an
-    ObjectRef."""
+@ray.remote(num_cpus=0)
+def _dup_prepass_task(input_path: str, key_col: str, id_col: str,
+                      approx_rows: int | None) -> dict:
+    """The dedup aggregation as a detached task so it streams
+    CONCURRENTLY with the main scan (num_cpus=0: the inner Ray Data job
+    schedules its own tasks; this shell only drives it)."""
+    proj = rd.read_parquet(input_path, columns=[key_col, id_col])
+    return phash_dup_losers(proj, mode="auto", approx_rows=approx_rows)
 
-    def __init__(self, dup_ref):
-        if "ObjectRef" in type(dup_ref).__name__:
-            self.dup = ray.get(dup_ref)
-        else:
-            self.dup = dup_ref
-        import numpy as np
-        self.keys = np.fromiter(self.dup.keys(), dtype=np.int64, count=len(self.dup))
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import numpy as np
-        ph = batch["phash"].to_numpy(zero_copy_only=False)
-        cand = np.isin(ph, self.keys)
-        mask = np.zeros(len(batch), dtype=bool)
+def _dup_lookup(dup_map: dict) -> tuple[np.ndarray, np.ndarray]:
+    """dict → (sorted int64 keys, aligned winner object array) for
+    vectorized searchsorted marking."""
+    if not dup_map:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=object))
+    keys = np.fromiter(dup_map.keys(), dtype=np.int64, count=len(dup_map))
+    order = np.argsort(keys)
+    winners = np.asarray(list(dup_map.values()), dtype=object)[order]
+    return keys[order], winners
+
+
+def _mark_dup(batch: pa.Table, keys: np.ndarray,
+              winners: np.ndarray) -> pa.Table:
+    """rule_phash_dup = (phash in dup set) and (image_id != winner),
+    fully vectorized (searchsorted + object-array compare on the few
+    candidate rows)."""
+    ph = batch["phash"].to_numpy(zero_copy_only=False)
+    mask = np.zeros(len(batch), dtype=bool)
+    if len(keys):
+        idx = np.clip(np.searchsorted(keys, ph), 0, len(keys) - 1)
+        cand = keys[idx] == ph
         if cand.any():
-            ids = batch["image_id"].to_pylist()
-            for i in np.nonzero(cand)[0]:
-                mask[i] = ids[i] != self.dup[int(ph[i])]
-        return batch.append_column("rule_phash_dup", pa.array(mask))
+            ids = np.asarray(batch["image_id"].to_pylist(), dtype=object)
+            mask[cand] = ids[cand] != winners[idx[cand]]
+    return batch.append_column("rule_phash_dup", pa.array(mask))
 
 
 class QualityFusedStage:
-    """The whole per-row pipeline as ONE actor-pool stage.
+    """The whole per-row model pipeline as ONE stage: rules → decode →
+    (drop bytes) → langid → perplexity → scrub.
 
     All sub-stages are CPU-bound per-batch transforms with shared-
-    nothing state, so fusing them into a single actor eliminates two
-    extra pool spin-ups and two inter-stage block handoffs — on a
-    32-CPU node that was the dominant cost (the kernels themselves are
-    ~0.25 ms/row). Models are fetched from the object store ONCE per
-    actor in ``__init__`` (the actor-pool pattern the north rule names);
-    the wide dedup decision arrives as a broadcast loser map.
+    nothing state, so fusing them eliminates inter-stage block handoffs
+    — the kernels themselves are ~0.25 ms/row. Models are fetched from
+    the object store ONCE per worker process (actor ``__init__``, or
+    first call on a task worker via the module cache below).
     """
 
     def __init__(self, cfg: QualityConfig, langid_ref, ppl_ref,
-                 dup_ref=None, decode: bool = True, keep_bytes: bool = False):
+                 decode: bool = True, keep_bytes: bool = False):
         self.rules = HeuristicRules(cfg)
         self.decode = DecodeImageStage() if decode else None
         self.langid = LangIdScorer(langid_ref, min_score=cfg.langid_min_score)
         self.ppl = PerplexityScorer(ppl_ref, max_ppl=cfg.max_perplexity)
         self.scrub = PiiScrubber()
-        self.markdup = _MarkDupStage(dup_ref) if dup_ref is not None else None
         self.keep_bytes = keep_bytes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -221,9 +270,86 @@ class QualityFusedStage:
         out = self.langid(out)
         out = self.ppl(out)
         out = self.scrub(out)
-        if self.markdup is not None:
-            out = self.markdup(out)
-        return finalize_decision(out)
+        return out
+
+
+# per-WORKER-PROCESS caches for the stateless-task path: Ray reuses
+# worker processes across tasks, so state keyed by the objects' refs
+# loads once per worker — the actor-pool `__init__` semantics without a
+# fixed pool (see module docstring).
+_STAGE_CACHE: dict = {}
+_DUP_CACHE: dict = {}
+
+
+def _fused_task_fn(batch: pa.Table, *, cfg, langid_ref, ppl_ref,
+                   decode, keep_bytes) -> pa.Table:
+    key = (langid_ref.hex() if hasattr(langid_ref, "hex") else id(langid_ref),
+           decode, keep_bytes)
+    stage = _STAGE_CACHE.get(key)
+    if stage is None:
+        stage = QualityFusedStage(cfg, langid_ref, ppl_ref,
+                                  decode=decode, keep_bytes=keep_bytes)
+        _STAGE_CACHE[key] = stage
+        if len(_STAGE_CACHE) > 8:          # old model generations
+            for k in list(_STAGE_CACHE)[:-4]:
+                del _STAGE_CACHE[k]
+    return stage(batch)
+
+
+def _mark_finalize_task_fn(batch: pa.Table, *, dup_ref) -> pa.Table:
+    if dup_ref is None:
+        return finalize_decision(batch)
+    key = dup_ref.hex() if hasattr(dup_ref, "hex") else id(dup_ref)
+    lookup = _DUP_CACHE.get(key)
+    if lookup is None:
+        dup = ray.get(dup_ref)             # blocks until pre-pass done
+        if hasattr(dup, "hex") or "ObjectRef" in type(dup).__name__:
+            dup = ray.get(dup)             # task-handle indirection
+        lookup = _dup_lookup(dup)
+        _DUP_CACHE.clear()
+        _DUP_CACHE[key] = lookup
+    return finalize_decision(_mark_dup(batch, *lookup))
+
+
+class _MarkFinalizeStage:
+    """Actor form of mark+finalize (compute="actors")."""
+
+    def __init__(self, dup_ref=None):
+        if dup_ref is None:
+            self.lookup = None
+        else:
+            dup = ray.get(dup_ref) if "ObjectRef" in type(dup_ref).__name__ \
+                else dup_ref
+            if "ObjectRef" in type(dup).__name__:
+                dup = ray.get(dup)
+            self.lookup = _dup_lookup(dup)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.lookup is None:
+            return finalize_decision(batch)
+        return finalize_decision(_mark_dup(batch, *self.lookup))
+
+
+def _mark_finalize_join(out: "rd.Dataset", dup_ds: "rd.Dataset",
+                        num_partitions: int = 64) -> "rd.Dataset":
+    """Join-based dup marking: left-join the label stream (bytes already
+    dropped) against the (phash, winner) dup dataset — zero driver-side
+    dup state; the at-10^12-images path."""
+    joined = out.join(dup_ds.rename_columns({"winner": "__winner"}),
+                      join_type="left_outer",
+                      num_partitions=num_partitions, on=("phash",))
+
+    def mark(t: pa.Table) -> pa.Table:
+        isdup = pc.and_kleene(
+            pc.is_valid(t["__winner"]),
+            pc.not_equal(t["image_id"], t["__winner"]))
+        t = t.append_column("rule_phash_dup",
+                            isdup.combine_chunks() if isinstance(
+                                isdup, pa.ChunkedArray) else isdup)
+        t = t.drop_columns(["__winner"])
+        return finalize_decision(t)
+
+    return joined.map_batches(mark, batch_format="pyarrow", batch_size=65536)
 
 
 def quality_pipeline(
@@ -237,40 +363,70 @@ def quality_pipeline(
     model_concurrency: int | tuple | None = None,
     batch_size: int | None = None,
     keep_bytes: bool = False,
+    compute: str = "tasks",
+    dup_ref=None,
+    dup_ds: "rd.Dataset | None" = None,
 ) -> "rd.Dataset":
-    """Assemble the flagship pipeline over an input Dataset (one fused
-    actor-pool stage; see QualityFusedStage)."""
+    """Assemble the flagship pipeline over an input Dataset.
+
+    Exactly one of ``dup_map`` (in-driver dict), ``dup_ref`` (ObjectRef
+    to a dict — possibly the pending result of a concurrent pre-pass
+    task), or ``dup_ds`` ((phash, winner) Dataset → join marking) should
+    be set; all None disables dedup marking.
+    """
     cfg = cfg or QualityConfig()
     if langid_model is None or ppl_model is None:
         lm, pm = build_models()
         langid_model = langid_model or lm
         ppl_model = ppl_model or pm
-    if model_concurrency is None:
-        # fixed pool sized from the RAY cluster, not os.cpu_count() —
-        # they differ under ray.init(num_cpus=N), and a fixed pool
-        # larger than the cluster deadlocks. Fixed beats (1, N)
-        # autoscaling here: the autoscaler settles near ~1/3 width on
-        # short jobs, leaving most CPUs idle.
-        # ~3/4 of the cluster for the model stage, the rest for the
-        # read/split/consume stages — a pool that takes every CPU
-        # starves its own input and idles
-        model_concurrency = max(2, int(_ray_cpus() * 0.75))
 
-    kwargs = {
-        "cfg": cfg,
-        "langid_ref": ray.put(langid_model),
-        "ppl_ref": ray.put(ppl_model),
-        "decode": decode,
-        "keep_bytes": keep_bytes,
-    }
-    if dup_map is not None:
-        kwargs["dup_ref"] = ray.put(dup_map)
-    out = ds.map_batches(
-        QualityFusedStage,
-        fn_constructor_kwargs=kwargs,
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=model_concurrency, zero_copy_batch=True,
-    )
+    langid_ref = ray.put(langid_model)
+    ppl_ref = ray.put(ppl_model)
+    if dup_ref is None and dup_map is not None:
+        dup_ref = ray.put(dup_map)
+
+    if compute == "actors":
+        if model_concurrency is None:
+            # fixed pool sized from the RAY cluster, not os.cpu_count()
+            # — they differ under ray.init(num_cpus=N), and a fixed
+            # pool larger than the cluster deadlocks. ~3/4 of the
+            # cluster for the model stage, the rest for read/consume —
+            # a pool that takes every CPU starves its own input.
+            model_concurrency = max(2, int(_ray_cpus() * 0.75))
+        out = ds.map_batches(
+            QualityFusedStage,
+            fn_constructor_kwargs={
+                "cfg": cfg, "langid_ref": langid_ref, "ppl_ref": ppl_ref,
+                "decode": decode, "keep_bytes": keep_bytes,
+            },
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=model_concurrency, zero_copy_batch=True,
+        )
+    else:
+        out = ds.map_batches(
+            _fused_task_fn,
+            fn_kwargs={
+                "cfg": cfg, "langid_ref": langid_ref, "ppl_ref": ppl_ref,
+                "decode": decode, "keep_bytes": keep_bytes,
+            },
+            batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        )
+
+    if dup_ds is not None:
+        out = _mark_finalize_join(out, dup_ds)
+    elif compute == "actors":
+        out = out.map_batches(
+            _MarkFinalizeStage, fn_constructor_kwargs={"dup_ref": dup_ref},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=(1, 8), zero_copy_batch=True,
+        )
+    else:
+        out = out.map_batches(
+            _mark_finalize_task_fn, fn_kwargs={"dup_ref": dup_ref},
+            batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        )
     if select_output:
         out = out.select_columns(OUTPUT_COLS)
     return out
@@ -281,29 +437,41 @@ def images_quality_pipeline(
     cfg: QualityConfig | None = None,
     decode: bool = True,
     dup_map: dict[int, str] | None = None,
+    dedup_mode: str = "broadcast",
     **kw,
 ) -> "rd.Dataset":
-    """End-to-end over a parquet images table: the dedup aggregation
-    reads ONLY (phash, image_id) via a pruned scan; the main pass reads
-    the full rows. Two scans of a columnar source beat shuffling bytes.
+    """End-to-end over a parquet images table.
+
+    dedup_mode:
+    - "broadcast" (default): the dedup aggregation runs as a DETACHED
+      task over a (phash, image_id)-pruned scan, concurrently with the
+      main pass; the loser map arrives at the final mark stage as an
+      ObjectRef. Two scans of a columnar source beat shuffling bytes.
+    - "join": fully distributed — the dup decision stays a Dataset and
+      marking is a hash-partitioned left join (no driver dup state).
 
     override_num_blocks: with the default 128 MiB target block size a
     medium input yields a handful of blocks, and blocks — not batches —
-    are the unit of task parallelism, so the actor pool would idle.
-    ~4 blocks per CPU keeps every actor fed (and on a real cluster,
-    every node), while a ~4k-row ceiling per block bounds per-actor
-    transient memory (decode buffers + the hashed-ngram count matrix) —
-    oversized blocks OOM-killed the raylet at millions of rows."""
+    are the unit of task parallelism. ~4 blocks per CPU keeps every
+    worker fed (and on a real cluster, every node), while a ~6k-row
+    ceiling per block bounds per-worker transient memory (decode
+    buffers + the hashed-ngram count matrix) — oversized blocks
+    OOM-killed the raylet at millions of rows, and 12k+-row blocks
+    A/B-measured ~30 % slower than 6k in tasks mode (bigger transient
+    peaks, coarser load balancing)."""
     cfg = cfg or QualityConfig()
     nrows = _parquet_rows(input_path)
-    # ~16k rows/block (A/B-tuned): large enough to amortize per-task
-    # round-trips, small enough that per-actor transients stay bounded
-    # now that the langid scorer sub-chunks its count matrix
-    nblocks = int(min(max(4 * _ray_cpus(), nrows // 16384 + 1), 4096))
-    if dup_map is None:
-        proj = rd.read_parquet(input_path, columns=[cfg.dedup_key, cfg.id_col])
-        dup_map = phash_dup_losers(proj)
+    nblocks = int(min(max(4 * _ray_cpus(), nrows // 6144 + 1), 4096))
     ds = rd.read_parquet(input_path, override_num_blocks=nblocks)
+    if dedup_mode == "join" and dup_map is None:
+        proj = rd.read_parquet(input_path, columns=[cfg.dedup_key, cfg.id_col])
+        return quality_pipeline(ds, None, cfg, decode=decode,
+                                dup_ds=dup_groups_dataset(proj), **kw)
+    if dup_map is None:
+        dup_ref = _dup_prepass_task.remote(input_path, cfg.dedup_key,
+                                           cfg.id_col, nrows)
+        return quality_pipeline(ds, None, cfg, decode=decode,
+                                dup_ref=dup_ref, **kw)
     return quality_pipeline(ds, dup_map, cfg, decode=decode, **kw)
 
 

@@ -79,19 +79,19 @@ def revenue_by_segment(sf_dir: str) -> pd.DataFrame:
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
-    seg_map = dict(zip(cust["c_custkey"].to_pylist(),
-                       cust["c_mktsegment"].to_pylist()))
-    ref = ray.put(seg_map)
+    # dimension ships once as two parallel Arrow arrays; the lookup is a
+    # fully vectorized index_in + take (no per-row Python)
+    ref = ray.put((cust["c_custkey"].combine_chunks(),
+                   cust["c_mktsegment"].combine_chunks()))
 
     class AddSegment:
         def __init__(self):
-            self.seg = ray.get(ref)
+            self.keys, self.segs = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch["o_custkey"].to_pylist()
-            segs = [self.seg.get(k) for k in keys]
-            return batch.append_column("c_mktsegment",
-                                       pa.array(segs, type=pa.string()))
+            idx = pc.index_in(batch["o_custkey"], value_set=self.keys)
+            segs = pc.take(self.segs, idx)
+            return batch.append_column("c_mktsegment", segs)
 
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_custkey", "o_totalprice"])
@@ -182,23 +182,37 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("c_custkey").reset_index(drop=True)
 
 
-def session_windows(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+def session_windows(sf_dir: str, gap_minutes: int = 30,
+                    num_buckets: int = 64) -> pd.DataFrame:
     """Session windowing per user (streaming-shaped semantics): events
     within `gap_minutes` of the previous event join the same session.
 
-    Ray shape (ray_guide 'Streaming-shaped workloads'): partition by
-    key (groupby user_id), sort by ts within the group, sessionize with
-    pandas inside map_groups. Order within a group is made
-    deterministic by the (ts, event_id) sort key."""
+    Ray shape (ray_guide 'Streaming-shaped workloads'): hash users into
+    ``num_buckets`` partitions (groupby user_bucket — ONE shuffle whose
+    group count is num_buckets, not #users), then sessionize the whole
+    partition vectorized: sort by (user, ts, event_id), session breaks =
+    user change OR gap exceeded, session ids by cumsum, one pandas
+    groupby over (user, sid). This avoids the ~1 ms/group map_groups
+    cost that a per-user grouping pays at millions of users; bucket
+    memory is bounded by scaling num_buckets with the data."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "value"])
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        new_s = (g["ts"].diff().isna()) | (g["ts"].diff() > gap)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        # multiplicative mixing so sequential user_ids spread evenly
+        b = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             >> np.uint64(64 - int(num_buckets).bit_length() + 1))
+        return t.append_column(
+            "user_bucket", pa.array((b % np.uint64(num_buckets)).astype(np.int64)))
+
+    def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        new_s = new_user | (g["ts"].diff() > gap)
         sid = new_s.cumsum()
-        out = g.groupby(sid).agg(
+        out = g.groupby(sid, sort=False).agg(
             user_id=("user_id", "first"),
             session_start=("ts", "min"),
             n_events=("event_id", "count"),
@@ -206,8 +220,13 @@ def session_windows(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         )
         return out.reset_index(drop=True)
 
-    df = ds.groupby("user_id").map_groups(
-        sessionize, batch_format="pandas").to_pandas()
+    df = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536,
+                       zero_copy_batch=True)
+        .groupby("user_bucket")
+        .map_groups(sessionize_bucket, batch_format="pandas")
+        .to_pandas()
+    )
     df["n_events"] = df["n_events"].astype("int64")
     df["total_value"] = round_half_up(df["total_value"], 6)
     return df.sort_values(["user_id", "session_start"]).reset_index(drop=True)

@@ -26,6 +26,22 @@ def _as_matrix(col) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+# per-WORKER-PROCESS broadcast cache (stateless-task analogue of the
+# actor-pool __init__ fetch; Ray reuses worker processes across tasks)
+_WORKER_CACHE: dict = {}
+
+
+def _cached_ref(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    v = _WORKER_CACHE.get(key)
+    if v is None:
+        v = ray.get(ref)
+        if len(_WORKER_CACHE) > 32:
+            _WORKER_CACHE.clear()
+        _WORKER_CACHE[key] = v
+    return v
+
+
 def brute_force_topk(
     ds: "rd.Dataset", queries: np.ndarray, query_ids: list, k: int,
     vec_col: str = "embedding", id_col: str = "vec_id",
@@ -38,27 +54,24 @@ def brute_force_topk(
     Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     qref = ray.put((np.asarray(query_ids), Q))
 
-    class LocalTopK:
-        def __init__(self):
-            self.qids, self.Q = ray.get(qref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _as_matrix(batch[vec_col])
-            ids = np.asarray(batch[id_col].to_pylist())
-            sims = m @ self.Q.T                      # (B, Q)
-            out_q, out_v, out_s = [], [], []
-            kk = min(k, len(ids))
-            for qi in range(sims.shape[1]):
-                s = sims[:, qi]
-                top = np.argpartition(-s, kk - 1)[:kk]
-                out_q.extend([self.qids[qi]] * kk)
-                out_v.extend(ids[top])
-                out_s.extend(s[top])
-            return pa.table({
-                "query_id": pa.array(out_q),
-                "vec_id": pa.array(out_v),
-                "score": pa.array(np.asarray(out_s, dtype=np.float64)),
-            })
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids_b, Q_b = _cached_ref(qref)
+        m = _as_matrix(batch[vec_col])
+        ids = np.asarray(batch[id_col].to_pylist())
+        sims = m @ Q_b.T                             # (B, Q)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(sims.shape[1]):
+            s = sims[:, qi]
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out_q.extend([qids_b[qi]] * kk)
+            out_v.extend(ids[top])
+            out_s.extend(s[top])
+        return pa.table({
+            "query_id": pa.array(out_q),
+            "vec_id": pa.array(out_v),
+            "score": pa.array(np.asarray(out_s, dtype=np.float64)),
+        })
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
@@ -67,7 +80,7 @@ def brute_force_topk(
         return g
 
     local = ds.select_columns([id_col, vec_col]).map_batches(
-        LocalTopK, batch_format="pyarrow", batch_size=4096, concurrency=(2, 8),
+        local_topk, batch_format="pyarrow", batch_size=4096,
     )
     return local.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
@@ -95,34 +108,31 @@ def lsh_topk(
             probes.setdefault(kk_, []).append(qi)
     pref = ray.put((np.asarray(query_ids), Q, H, probes))
 
-    class BucketTopK:
-        def __init__(self):
-            self.qids, self.Q, self.H, self.probes = ray.get(pref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _as_matrix(batch[vec_col])
-            keys = _keys(m, self.H)
-            ids = np.asarray(batch[id_col].to_pylist())
-            out_q, out_v, out_s = [], [], []
-            for key in np.unique(keys):
-                qis = self.probes.get(int(key))
-                if not qis:
-                    continue
-                sel = keys == key
-                sub, sub_ids = m[sel], ids[sel]
-                sims = sub @ self.Q[qis].T
-                kk = min(k, len(sub_ids))
-                for ci, qi in enumerate(qis):
-                    s = sims[:, ci]
-                    top = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
-                    out_q.extend([self.qids[qi]] * len(top))
-                    out_v.extend(sub_ids[top])
-                    out_s.extend(s[top])
-            return pa.table({
-                "query_id": pa.array(out_q),
-                "vec_id": pa.array(out_v),
-                "score": pa.array(np.asarray(out_s, dtype=np.float64)),
-            })
+    def bucket_topk(batch: pa.Table) -> pa.Table:
+        qids_b, Q_b, H_b, probes_b = _cached_ref(pref)
+        m = _as_matrix(batch[vec_col])
+        keys = _keys(m, H_b)
+        ids = np.asarray(batch[id_col].to_pylist())
+        out_q, out_v, out_s = [], [], []
+        for key in np.unique(keys):
+            qis = probes_b.get(int(key))
+            if not qis:
+                continue
+            sel = keys == key
+            sub, sub_ids = m[sel], ids[sel]
+            sims = sub @ Q_b[qis].T
+            kk = min(k, len(sub_ids))
+            for ci, qi in enumerate(qis):
+                s = sims[:, ci]
+                top = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+                out_q.extend([qids_b[qi]] * len(top))
+                out_v.extend(sub_ids[top])
+                out_s.extend(s[top])
+        return pa.table({
+            "query_id": pa.array(out_q),
+            "vec_id": pa.array(out_v),
+            "score": pa.array(np.asarray(out_s, dtype=np.float64)),
+        })
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
@@ -131,7 +141,7 @@ def lsh_topk(
         return g
 
     local = ds.select_columns([id_col, vec_col]).map_batches(
-        BucketTopK, batch_format="pyarrow", batch_size=4096, concurrency=(2, 8),
+        bucket_topk, batch_format="pyarrow", batch_size=4096,
     )
     return local.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
@@ -148,9 +158,21 @@ def load_query_vectors(
     sf_dir: str, n_queries: int = 10, vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> tuple[np.ndarray, list]:
-    """First n_queries embeddings (by id) as the deterministic query set."""
+    """First n_queries embeddings (by id) as the deterministic query set.
+
+    Reads the 8-byte id column in full, then only the row groups that
+    actually contain the n smallest ids — the wide embedding column is
+    never read for the rest of the table."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=[id_col, vec_col])
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    ids = pf.read(columns=[id_col])[id_col].to_numpy(zero_copy_only=False)
+    want_pos = np.sort(np.argsort(ids, kind="stable")[:n_queries])
+    # row-group spans → the set of groups holding wanted positions
+    spans = np.cumsum([pf.metadata.row_group(i).num_rows
+                       for i in range(pf.metadata.num_row_groups)])
+    groups = sorted(set(int(np.searchsorted(spans, p, side="right"))
+                        for p in want_pos))
+    t = pf.read_row_groups(groups, columns=[id_col, vec_col])
     df = t.to_pandas().sort_values(id_col).head(n_queries)
     return np.stack(df[vec_col].to_numpy()), df[id_col].tolist()

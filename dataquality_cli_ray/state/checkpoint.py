@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 import pyarrow as pa
@@ -34,16 +35,35 @@ def _manifest_path(out_root: str, idx: int) -> str:
     return os.path.join(out_root, f"shard={idx}", "manifest.json")
 
 
+_SHARD_DIR_RE = re.compile(r"^shard=(\d+)$")
+
+
 def completed_shards(out_root: str) -> set[int]:
     done = set()
     if not os.path.isdir(out_root):
         return done
     for name in os.listdir(out_root):
-        if name.startswith("shard="):
-            idx = int(name.split("=", 1)[1])
+        # only plain 'shard=<int>' counts — leftover 'shard=N.tmp' dirs
+        # from an abrupt crash mid-write must not break resume startup
+        m = _SHARD_DIR_RE.match(name)
+        if m:
+            idx = int(m.group(1))
             if os.path.exists(_manifest_path(out_root, idx)):
                 done.add(idx)
     return done
+
+
+def _manifest_matches(out_root: str, idx: int, shard_files_: list[str]) -> bool:
+    """A completed shard is reusable only if its manifest's input
+    fragment list equals the current shard's — otherwise shifted shard
+    boundaries (input files added/removed between runs) would silently
+    reuse stale outputs."""
+    try:
+        with open(_manifest_path(out_root, idx)) as f:
+            manifest = json.load(f)
+        return list(manifest.get("input_fragments", [])) == list(shard_files_)
+    except (OSError, ValueError):
+        return False
 
 
 def run_resumable(
@@ -66,7 +86,7 @@ def run_resumable(
     ran, manifests = 0, []
     for idx, shard in enumerate(shards):
         final_dir = os.path.join(out_root, f"shard={idx}")
-        if idx in done:
+        if idx in done and _manifest_matches(out_root, idx, shard):
             manifests.append(_manifest_path(out_root, idx))
             continue
         tmp_dir = final_dir + ".tmp"
