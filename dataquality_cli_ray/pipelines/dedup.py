@@ -177,7 +177,7 @@ def _keep_nonsingleton_buckets(exploded: "rd.Dataset", key_col: str) -> "rd.Data
 
 def semi_join_filter(
     ds: "rd.Dataset", keys_ds: "rd.Dataset", key_col: str,
-    num_partitions: int = 64, anti: bool = False,
+    num_partitions: int | None = None, anti: bool = False,
 ) -> "rd.Dataset":
     """Distributed semi-join (anti=True: anti-join) membership filter:
     keep rows of ``ds`` whose ``key_col`` appears (resp. does not
@@ -188,8 +188,20 @@ def semi_join_filter(
     (+carried) columns."""
     from ray.data.aggregate import Count
 
+    if num_partitions is None:
+        # join aggregators are actors: more partitions than CPUs can
+        # deadlock a small cluster
+        try:
+            num_partitions = max(2, min(64, int(
+                ray.cluster_resources().get("CPU", 8))))
+        except Exception:
+            num_partitions = 8
     marker = keys_ds.select_columns([key_col]).groupby(key_col).aggregate(
         Count(alias_name="__hit"))
+    # the hash-shuffle aggregator can emit empty schema-less blocks for
+    # empty partitions, which pyarrow's join rejects ("no match for key
+    # field on right side"); a repartition coalesces them away
+    marker = marker.repartition(num_partitions)
     joined = ds.join(marker, join_type="left_outer",
                      num_partitions=num_partitions, on=(key_col,))
 

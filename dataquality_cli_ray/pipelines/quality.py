@@ -331,12 +331,20 @@ class _MarkFinalizeStage:
 
 
 def _mark_finalize_join(out: "rd.Dataset", dup_ds: "rd.Dataset",
-                        num_partitions: int = 64) -> "rd.Dataset":
+                        num_partitions: int | None = None) -> "rd.Dataset":
     """Join-based dup marking: left-join the label stream (bytes already
     dropped) against the (phash, winner) dup dataset — zero driver-side
     dup state; the at-10^12-images path."""
-    joined = out.join(dup_ds.rename_columns({"winner": "__winner"}),
-                      join_type="left_outer",
+    if num_partitions is None:
+        # join aggregators are actors: more partitions than CPUs
+        # deadlocks a small cluster, and a 4096-partition join of a
+        # small dup table is pure overhead anyway
+        num_partitions = max(2, min(64, _ray_cpus()))
+    # repartition the dup side first: the hash-shuffle aggregator can
+    # emit empty schema-less blocks that pyarrow's join rejects
+    dup_side = dup_ds.rename_columns({"winner": "__winner"}).repartition(
+        num_partitions)
+    joined = out.join(dup_side, join_type="left_outer",
                       num_partitions=num_partitions, on=("phash",))
 
     def mark(t: pa.Table) -> pa.Table:

@@ -142,8 +142,12 @@ class ColumnPartial:
     vc_pending: int = 0
     hll: HyperLogLog | None = None
     counts_overflow: bool = False
-    # quantile values (numeric only)
+    # quantile values (numeric only). values_w is parallel to values:
+    # None = all points weight 1 (exact buffer), else an ndarray of
+    # per-point weights (stride-subsampled buffer — each kept point
+    # carries the summed weight of the points it replaced)
     values: list = field(default_factory=list)   # list[np.ndarray]
+    values_w: list = field(default_factory=list)  # list[None | np.ndarray]
     values_exact: bool = True
     values_n: int = 0
     # CSV-style type-promotion flags (string columns)
@@ -268,17 +272,43 @@ class ColumnPartial:
 
     def _append_values(self, vals: np.ndarray) -> None:
         self.values.append(vals)
+        self.values_w.append(None)
         self.values_n += len(vals)
         if self.values_n > self.values_cap:
             self._subsample_values()
 
     def _subsample_values(self) -> None:
         # deterministic stride subsample of the sorted buffer → mergeable
-        # approximate quantiles with rank error ~ values_n/values_cap
-        allv = np.sort(np.concatenate(self.values))
-        stride = max(2, int(math.ceil(len(allv) / (self.values_cap // 2))))
-        self.values = [allv[:: stride]]
-        self.values_n = len(self.values[0])
+        # approximate quantiles with rank error ~ represented-rows/cap.
+        # Each kept point carries the SUMMED weight of the points it
+        # replaces, so buffers subsampled at different strides merge at
+        # their true rank weight — an unweighted concat would overweight
+        # exact buffers (sorted/clustered layouts, ADVICE r1).
+        allv = np.concatenate(self.values)
+        wts = np.concatenate([
+            np.ones(len(v)) if w is None else w
+            for v, w in zip(self.values, self.values_w)])
+        order = np.argsort(allv, kind="stable")
+        allv, wts = allv[order], wts[order]
+        csum = np.concatenate(([0.0], np.cumsum(wts)))
+        total = csum[-1]
+        k = max(2, self.values_cap // 2)
+        # equal-WEIGHT groups (not equal point count): group boundaries
+        # at every total/k of cumulative weight, kept point = the
+        # group's weight-median. This keeps max group weight ~ total/k
+        # no matter how many merge/resubsample rounds ran — equal-POINT
+        # groups let early (already-coarse) regions coarsen geometrically
+        # under sorted layouts, growing rank error far past 1/cap.
+        bounds = np.arange(k, dtype=np.float64) * (total / k)
+        starts = np.unique(np.searchsorted(csum[1:], bounds, side="right"))
+        starts = starts[starts < len(allv)]
+        ends = np.concatenate((starts[1:], [len(allv)]))
+        group_w = csum[ends] - csum[starts]
+        mid = np.searchsorted(csum[1:], csum[starts] + group_w / 2.0)
+        mid = np.clip(mid, starts, ends - 1)
+        self.values = [allv[mid]]
+        self.values_w = [group_w]
+        self.values_n = len(starts)
         self.values_exact = False
 
     def _merge_moments(self, n2: int, mean2: float, m22: float) -> None:
@@ -322,6 +352,7 @@ class ColumnPartial:
             self._compact()
         # quantile values
         self.values.extend(o.values)
+        self.values_w.extend(o.values_w)
         self.values_n += o.values_n
         self.values_exact &= o.values_exact
         if self.values_n > self.values_cap:
@@ -350,10 +381,22 @@ class ColumnPartial:
             out["min"] = self.min_num
             out["max"] = self.max_num
             if self.values:
-                allv = np.sort(np.concatenate(self.values))
-                out["q25"] = _quantile_cont(allv, 0.25)
-                out["q50"] = _quantile_cont(allv, 0.50)
-                out["q75"] = _quantile_cont(allv, 0.75)
+                if all(w is None for w in self.values_w):
+                    # exact path — bit-identical to percentile_cont
+                    allv = np.sort(np.concatenate(self.values))
+                    out["q25"] = _quantile_cont(allv, 0.25)
+                    out["q50"] = _quantile_cont(allv, 0.50)
+                    out["q75"] = _quantile_cont(allv, 0.75)
+                else:
+                    allv = np.concatenate(self.values)
+                    wts = np.concatenate([
+                        np.ones(len(v)) if w is None else w
+                        for v, w in zip(self.values, self.values_w)])
+                    order = np.argsort(allv, kind="stable")
+                    allv, wts = allv[order], wts[order]
+                    out["q25"] = _quantile_cont_weighted(allv, wts, 0.25)
+                    out["q50"] = _quantile_cont_weighted(allv, wts, 0.50)
+                    out["q75"] = _quantile_cont_weighted(allv, wts, 0.75)
         self._compact()
         if self.hll is not None:
             out["unique"] = self.hll.estimate()
@@ -404,6 +447,28 @@ def _hash_values(vals: np.ndarray) -> np.ndarray:
     import pandas as pd
 
     return pd.util.hash_array(np.asarray(vals), categorize=False)
+
+
+def _quantile_cont_weighted(vals: np.ndarray, wts: np.ndarray,
+                            q: float) -> float | None:
+    """percentile_cont generalized to weighted points: point i (sorted
+    by value) occupies ranks [cum_{i-1}, cum_i) and sits at the center
+    of its span; interpolate at rank q*(n-1). With all weights 1 this
+    reduces exactly to ``_quantile_cont``."""
+    n = float(wts.sum())
+    if n <= 0 or len(vals) == 0:
+        return None
+    r = q * (n - 1)
+    cw = np.cumsum(wts)
+    centers = cw - (wts + 1) / 2.0          # 0-indexed rank of each point
+    j = int(np.searchsorted(centers, r))
+    if j <= 0:
+        return float(vals[0])
+    if j >= len(vals):
+        return float(vals[-1])
+    c0, c1 = centers[j - 1], centers[j]
+    f = (r - c0) / (c1 - c0) if c1 > c0 else 0.0
+    return float(vals[j - 1] * (1 - f) + vals[j] * f)
 
 
 def _quantile_cont(sorted_vals: np.ndarray, q: float) -> float:

@@ -174,3 +174,39 @@ def test_lsh_topk_recall(ray_session):
         got = set(approx[approx["query_id"] == qid]["vec_id"])
         recalls.append(len(got & truth) / 10)
     assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_semi_join_filter(ray_session):
+    """Distributed semi/anti membership filter (the 100 TB fallback for
+    broadcast key sets) vs a straight set computation."""
+    rows = [{"k": i % 7, "id": i} for i in range(50)]
+    keys = [{"k": v} for v in [2, 5, 5, 6]]
+    ds = rd_mod.from_items(rows)
+    kds = rd_mod.from_items(keys)
+    semi = DD.semi_join_filter(ds, kds, "k", num_partitions=4)
+    anti = DD.semi_join_filter(ds, kds, "k", num_partitions=4, anti=True)
+    got_semi = sorted(r["id"] for r in semi.take_all())
+    got_anti = sorted(r["id"] for r in anti.take_all())
+    want_semi = sorted(i for i in range(50) if i % 7 in {2, 5, 6})
+    want_anti = sorted(i for i in range(50) if i % 7 not in {2, 5, 6})
+    assert got_semi == want_semi
+    assert got_anti == want_anti
+    assert "__hit" not in semi.schema().names
+
+
+def test_quality_join_dedup_matches_broadcast(ray_session, images_path, models):
+    """dedup_mode='join' (hash-partitioned left join, zero driver dup
+    state) must produce exactly the broadcast loser-map decision."""
+    from dataquality_cli_ray.pipelines.quality import images_quality_pipeline
+    from dataquality_cli_ray.stages.rules import QualityConfig
+
+    lm, pm = models
+    cfg = QualityConfig()
+    a = images_quality_pipeline(images_path, cfg, langid_model=lm,
+                                ppl_model=pm).to_pandas()
+    b = images_quality_pipeline(images_path, cfg, dedup_mode="join",
+                                langid_model=lm, ppl_model=pm).to_pandas()
+    a = a.sort_values("image_id").reset_index(drop=True)
+    b = b.sort_values("image_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (b["drop_reason"] == "phash_dup").any()

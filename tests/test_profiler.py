@@ -99,6 +99,38 @@ def test_quantile_interpolation_matches_sql():
     assert abs(f["q75"] - q[1]) < 1e-12
 
 
+def test_weighted_quantile_merge_sorted_layout():
+    """ADVICE r1: a stride-subsampled partial (sorted/clustered block
+    layout) merged with exact partials must keep rank error ~1/cap —
+    unweighted concatenation would drag q50 toward the exact buffers."""
+    n = 40_000
+    vals = np.arange(n, dtype=np.float64)      # globally sorted layout
+    cap = 2048
+    # first partial sees the low half and overflows its cap (subsampled)
+    p = ColumnPartial(name="x", kind="numeric", values_cap=cap)
+    p.update(pa.array(vals[: n // 2]))
+    assert not p.values_exact
+    # remaining data arrives as exact partials (below cap each)
+    for lo in range(n // 2, n, cap // 2):
+        q = ColumnPartial(name="x", kind="numeric", values_cap=cap)
+        q.update(pa.array(vals[lo: lo + cap // 2]))
+        p.merge(q)
+    f = p.finalize()
+    for frac, key in [(0.25, "q25"), (0.5, "q50"), (0.75, "q75")]:
+        true = np.quantile(vals, frac)
+        rank_err = abs(f[key] - true) / n      # value space == rank space
+        assert rank_err < 3.0 / cap, (key, f[key], true, rank_err)
+
+
+def test_weighted_quantile_reduces_to_exact():
+    w = np.ones(5)
+    v = np.array([1.0, 2.0, 3.0, 4.0, 10.0])
+    from dataquality_cli_ray.state.sketches import (
+        _quantile_cont, _quantile_cont_weighted)
+    for q in (0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0):
+        assert abs(_quantile_cont_weighted(v, w, q) - _quantile_cont(v, q)) < 1e-12
+
+
 def test_hll_fallback_accuracy():
     p = ColumnPartial(name="x", kind="numeric", unique_cap=1000)
     arr = pa.array(np.arange(50_000, dtype=np.int64))
