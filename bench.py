@@ -123,8 +123,26 @@ def run_benchmarks() -> dict:
 
     timed("ann_topk", _ann)
 
+    # ---- multi-file directory profile: the reference's own headline
+    # shape (41-file dir, README.md:108-119 -> 1.66 M rows/s) ----
+    dir_stats = {}
+
+    def _describe_dir():
+        from dataquality_cli_ray.pipelines.profiler import describe_directory
+        import glob
+        d, total_rows = _multifile_dir()
+        files = sorted(glob.glob(f"{d}/*.parquet"))
+        t0 = time.time()
+        res = describe_directory(files)
+        dt = time.time() - t0
+        assert len(res) == len(files)
+        dir_stats.update(files=len(files), rows=total_rows,
+                         rows_per_sec=round(total_rows / dt, 1))
+
+    timed("describe_directory_41files", _describe_dir)
+
     ray.shutdown()
-    return {
+    out = {
         "metric": "images_quality_pipeline_wall_sec",
         "value": round(headline, 3),
         "unit": "sec",
@@ -134,6 +152,36 @@ def run_benchmarks() -> dict:
         "images_bench_rows": n_rows,
         "images_per_sec": round(n_rows / headline, 1),
     }
+    if dir_stats:
+        out["describe_dir"] = dir_stats
+    return out
+
+
+def _multifile_dir() -> tuple[str, int]:
+    """41-file parquet directory built from the sf tables (cached) —
+    the reference's directory-profile headline counterpart."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    d = os.path.join("/tmp/dqray_fixtures",
+                     f"describe_dir41_{os.path.basename(SF_DIR.rstrip('/'))}")
+    marker = os.path.join(d, "_COUNT")
+    if os.path.exists(marker):
+        return d, int(open(marker).read())
+    os.makedirs(d, exist_ok=True)
+    total = 0
+    for tbl, k in [("lineitem", 20), ("orders", 10),
+                   ("customer", 5), ("events", 6)]:
+        t = pq.read_table(f"{SF_DIR}/{tbl}.parquet")
+        total += t.num_rows
+        step = math.ceil(t.num_rows / k)
+        for j in range(k):
+            pq.write_table(t.slice(j * step, step),
+                           os.path.join(d, f"{tbl}_{j:02d}.parquet"))
+    with open(marker, "w") as f:
+        f.write(str(total))
+    return d, total
 
 
 def run_scaling() -> dict:

@@ -94,11 +94,16 @@ def cmd_describe(args) -> int:
         except FileNotFoundError:
             files = []
         if files:
-            for f in sorted(files):
-                s = time.time()
-                stats = describe(rd.read_parquet(f))
-                reports.append(render_describe(os.path.basename(f), stats,
-                                               time.time() - s))
+            # per-file fan-out in one wave (the reference's worker-pool
+            # directory profile), not a sequential per-file loop
+            from .pipelines.profiler import describe_directory
+
+            s = time.time()
+            per_file = describe_directory(sorted(files))
+            dt = time.time() - s
+            for f in sorted(per_file):
+                reports.append(render_describe(os.path.basename(f),
+                                               per_file[f], dt / len(per_file)))
         else:
             csvs = discover_files(path, "csv")
             for f in [c["path"] for c in csvs]:

@@ -681,6 +681,81 @@ def q_images_resize(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("image_id").reset_index(drop=True)
 
 
+def q_docs_perplexity(sf_dir: str) -> pd.DataFrame:
+    """Char-trigram perplexity scoring over documents (SURVEY §2.3 —
+    the KenLM-style scorer the north rule names): LM trained on the
+    doc_id%5==0 sample (driver-side — the sample is bounded; the
+    distributed-training path is exercised by langid), scored
+    distributed. Deterministic → golden-parquet oracle."""
+    import pyarrow.parquet as _pq
+
+    from .stages.perplexity import PerplexityScorer, train_char_lm
+
+    t = _pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text"])
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    texts = [x for i, x in zip(ids, t["text"].to_pylist()) if i % 5 == 0]
+    model = train_char_lm(texts)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(
+        PerplexityScorer(model, text_col="text"),
+        batch_format="pyarrow", batch_size=8192,
+    ).select_columns(["doc_id", "ppl"]).to_pandas()
+    out["ppl"] = round_half_up(out["ppl"], 6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_videos_frame_sample(sf_dir: str) -> pd.DataFrame:
+    """Multimodal video: frame sampling (every 3rd frame) over the
+    deterministic fake container — the explode + quarantine plumbing is
+    real (stages/image_stages.FrameSampleStage); codec is the declared
+    stand-in. Golden-parquet oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .fixtures.media import generate_videos_parquet
+    from .stages.image_stages import FrameSampleStage
+
+    path = generate_videos_parquet(500)
+    ds = rd.read_parquet(path, columns=["video_id", "bytes"])
+    out = ds.map_batches(FrameSampleStage(every_n=3),
+                         batch_format="pyarrow", batch_size=128)
+
+    def shape(t: pa.Table) -> pa.Table:
+        ln = pc.binary_length(t["frame_bytes"]).fill_null(-1).cast(pa.int64())
+        return pa.table({
+            "video_id": t["video_id"],
+            "frame_idx": t["frame_idx"].cast(pa.int64()),
+            "frame_ahash": t["frame_ahash"],
+            "n_frames": t["n_frames"].cast(pa.int64()),
+            "fps": t["fps"].cast(pa.int64()),
+            "frame_len": ln,
+            "decode_ok": pc.is_null(t["decode_err"]),
+        })
+
+    df = out.map_batches(shape, batch_format="pyarrow",
+                         batch_size=4096).to_pandas()
+    return df.sort_values(["video_id", "frame_idx"]).reset_index(drop=True)
+
+
+def q_audio_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal audio: RMS + duration over fake-PCM payloads
+    (stages/image_stages.AudioFeatureStage). Golden-parquet oracle."""
+    from .fixtures.media import generate_audio_parquet
+    from .stages.image_stages import AudioFeatureStage
+
+    path = generate_audio_parquet(1000)
+    ds = rd.read_parquet(path)
+    out = ds.map_batches(AudioFeatureStage(), batch_format="pyarrow",
+                         batch_size=256)
+    df = out.select_columns(
+        ["audio_id", "audio_rms", "audio_sec"]).to_pandas()
+    df["audio_rms"] = round_half_up(df["audio_rms"], 6)
+    df["audio_sec"] = round_half_up(df["audio_sec"], 6)
+    return df.sort_values("audio_id").reset_index(drop=True)
+
+
 def q_images_describe(sf_dir: str) -> pd.DataFrame:
     from .fixtures.images import generate_images_parquet
 
@@ -708,6 +783,9 @@ def q_images_describe(sf_dir: str) -> pd.DataFrame:
 
 GOLDEN_QUERIES = [
     "docs_langid",
+    "docs_perplexity",
+    "videos_frame_sample",
+    "audio_features",
     "docs_minhash_pairs",
     "docs_simhash_pairs",
     "docs_winnow",
@@ -772,6 +850,9 @@ def build_queries() -> dict:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         # rows-only (non-SQL-expressible)
         "docs_langid": q_docs_langid,
+        "docs_perplexity": q_docs_perplexity,
+        "videos_frame_sample": q_videos_frame_sample,
+        "audio_features": q_audio_features,
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,

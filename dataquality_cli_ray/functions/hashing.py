@@ -141,18 +141,28 @@ class MinHasher:
         self.a = rng.integers(1, int(MERSENNE61), num_perm, dtype=np.uint64)
         self.b = rng.integers(0, int(MERSENNE61), num_perm, dtype=np.uint64)
 
+    @staticmethod
+    def _mod_m61(t: np.ndarray) -> np.ndarray:
+        """Exact t mod (2^61-1) for uint64 t via the Mersenne shift/mask
+        identity — no integer division (the naive ``% M61`` is ~10×
+        slower, it was the dedup hot spot). In-place on t."""
+        lo = t & MERSENNE61
+        lo += t >> np.uint64(61)
+        np.subtract(lo, MERSENNE61, out=lo, where=lo >= MERSENNE61)
+        return lo
+
     def signature(self, shingles: np.ndarray) -> np.ndarray:
         """(num_perm,) uint64 minhash signature of a shingle-hash set."""
         if len(shingles) == 0:
             return np.full(self.num_perm, int(MERSENNE61), dtype=np.uint64)
         x = (shingles & MERSENNE61)[:, None].astype(np.uint64)
         with np.errstate(over="ignore"):
-            vals = (x * self.a[None, :] + self.b[None, :]) % MERSENNE61
+            vals = self._mod_m61(x * self.a[None, :] + self.b[None, :])
         return vals.min(axis=0)
 
     def signatures_batch(
         self, hashes: np.ndarray, offsets: np.ndarray,
-        chunk_shingles: int = 65536,
+        chunk_shingles: int = 8192,
     ) -> np.ndarray:
         """(n_docs, num_perm) uint64 signatures for a whole batch of
         shingle sets at once (``hashes``/``offsets`` as produced by
@@ -174,7 +184,7 @@ class MinHasher:
                 continue
             x = (seg & MERSENNE61)[:, None].astype(np.uint64)
             with np.errstate(over="ignore"):
-                H = (x * self.a[None, :] + self.b[None, :]) % MERSENNE61
+                H = self._mod_m61(x * self.a[None, :] + self.b[None, :])
             starts = (offsets[d0:d1] - offsets[d0]).astype(np.int64)
             out[d0:d1] = np.minimum.reduceat(H, starts, axis=0)
             d0 = d1

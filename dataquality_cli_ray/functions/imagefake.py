@@ -89,3 +89,50 @@ def average_hash64(arr: np.ndarray) -> int:
         if b:
             out |= np.uint64(1) << np.uint64(i)
     return int(np.int64(out))
+
+
+# ---------------------------------------------------------------- video
+# Deterministic stand-in video CONTAINER (same contract as the image
+# codec: the codec is a fake, the Ray-side plumbing is real). Format:
+#   b"FVID" | fmt_code:u8 | n_frames:u16 | fps:u8 | concatenated
+#   encode_image() blobs (self-delimiting: each carries its own w/h)
+
+MAGIC_VIDEO = b"FVID"
+
+
+class CorruptVideoError(ValueError):
+    pass
+
+
+def encode_video(frames: list, fmt: str, fps: int = 24) -> bytes:
+    """Encode a list of (h, w, 3) uint8 frames as one container blob."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    head = MAGIC_VIDEO + struct.pack("<BHB", FMT_CODES[fmt], len(frames),
+                                     fps)
+    return head + b"".join(encode_image(f, fmt) for f in frames)
+
+
+def decode_video(data: bytes) -> tuple[list, str, int]:
+    """Decode a container blob → (frames, fmt, fps); raises
+    CorruptVideoError on malformed bytes."""
+    if data is None or len(data) < 8 or data[:4] != MAGIC_VIDEO:
+        raise CorruptVideoError("bad video magic/length")
+    fmt_code, n_frames, fps = struct.unpack("<BHB", data[4:8])
+    if fmt_code not in CODE_FMTS:
+        raise CorruptVideoError(f"unknown fmt code {fmt_code}")
+    frames = []
+    off = 8
+    for _ in range(n_frames):
+        if off + 9 > len(data):
+            raise CorruptVideoError("truncated frame header")
+        _, w, h = struct.unpack("<BHH", data[off + 4: off + 9])
+        end = off + 9 + w * h * 3
+        if end > len(data):
+            raise CorruptVideoError("truncated frame payload")
+        arr, _ = decode_image(data[off:end])
+        frames.append(arr)
+        off = end
+    if off != len(data):
+        raise CorruptVideoError("trailing bytes after last frame")
+    return frames, CODE_FMTS[fmt_code], fps

@@ -238,6 +238,10 @@ class MinHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         hashes, offsets = char_shingle_hashes_batch(texts, self.shingle_k)
+        # dedupe per doc: minima are unchanged, and repeated shingles
+        # (natural text repeats itself) would pay the 128-perm hash for
+        # every occurrence
+        hashes, offsets = dedupe_per_doc(hashes, offsets)
         sigs = self.mh.signatures_batch(hashes, offsets)      # (n, perm)
         keys = self.mh.band_keys_batch(sigs, self.bands)      # (n, bands)
         n = len(texts)

@@ -103,19 +103,50 @@ class ResizeImageStage:
 
 
 class FrameSampleStage:
-    """Video frame sampling — STUB. Real decode needs a video library
-    absent from this container; the stage exists so the pipeline
-    wiring/schema is real. Raises on use."""
+    """Video frame sampling over the deterministic fake container
+    (``functions/imagefake.encode_video`` — swap ``IF.decode_video``
+    for a real codec call when one is available; the explode shape,
+    schema, quarantine and batch sizing stay the same).
 
-    def __init__(self, every_n: int = 30):
+    EXPLODES rows: one output row per sampled frame (frames 0, every_n,
+    2*every_n, ...) with the frame re-encoded standalone plus its
+    ahash; a corrupt container yields ONE quarantine row
+    (frame_idx = -1, null bytes, decode_err set) so lineage keeps the
+    video."""
+
+    def __init__(self, every_n: int = 30, bytes_col: str = "bytes",
+                 id_col: str = "video_id"):
         self.every_n = every_n
+        self.bytes_col, self.id_col = bytes_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "video frame sampling requires a codec library not present in "
-            "this environment; wire a real decoder here (same actor-pool "
-            "signature) when available"
-        )
+        data = batch[self.bytes_col].to_pylist()
+        ids = batch[self.id_col].to_pylist()
+        out_id, out_idx, out_bytes, out_ahash = [], [], [], []
+        out_n, out_fps, out_err = [], [], []
+        for vid, blob in zip(ids, data):
+            try:
+                frames, fmt, fps = IF.decode_video(blob)
+            except (IF.CorruptVideoError, IF.CorruptImageError) as e:
+                out_id.append(vid); out_idx.append(-1)
+                out_bytes.append(None); out_ahash.append(0)
+                out_n.append(0); out_fps.append(0); out_err.append(str(e))
+                continue
+            for fi in range(0, len(frames), self.every_n):
+                out_id.append(vid); out_idx.append(fi)
+                out_bytes.append(IF.encode_image(frames[fi], fmt))
+                out_ahash.append(IF.average_hash64(frames[fi]))
+                out_n.append(len(frames)); out_fps.append(fps)
+                out_err.append(None)
+        return pa.table({
+            self.id_col: pa.array(out_id),
+            "frame_idx": pa.array(out_idx, type=pa.int32()),
+            "frame_bytes": pa.array(out_bytes, type=pa.binary()),
+            "frame_ahash": pa.array(out_ahash, type=pa.int64()),
+            "n_frames": pa.array(out_n, type=pa.int32()),
+            "fps": pa.array(out_fps, type=pa.int32()),
+            "decode_err": pa.array(out_err, type=pa.string()),
+        })
 
 
 class AudioFeatureStage:

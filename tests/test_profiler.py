@@ -210,3 +210,24 @@ def test_sampled_describe(ray_session):
     t = describe(ds, sample_frac=0.5, seed=1).to_pandas().set_index("column")
     n = t.loc["l_quantity"]["n"]
     assert 2000 < n < 4000    # ~50% sample
+
+
+def test_describe_directory_matches_single(ray_session, tmp_path):
+    """Per-file fan-out (raw tasks) must produce the same stats as the
+    Dataset-based describe on each file."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from dataquality_cli_ray.pipelines.profiler import (describe,
+                                                        describe_directory)
+
+    t = pq.read_table("/root/testdata/sf0.001/nation.parquet")
+    f1 = str(tmp_path / "a.parquet"); pq.write_table(t.slice(0, 12), f1)
+    f2 = str(tmp_path / "b.parquet"); pq.write_table(t.slice(12), f2)
+    res = describe_directory([f1, f2])
+    assert set(res) == {f1, f2}
+    for f in (f1, f2):
+        want = describe(rd.read_parquet(f)).to_pandas()
+        got = res[f].to_pandas()
+        import pandas as pd
+        pd.testing.assert_frame_equal(got, want)

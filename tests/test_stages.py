@@ -101,9 +101,40 @@ def test_resize_stage():
     assert arr.shape == (4, 4, 3)
 
 
-def test_video_stub_raises():
-    with pytest.raises(NotImplementedError):
-        FrameSampleStage()(pa.table({"bytes": pa.array([b"x"])}))
+def test_video_codec_roundtrip():
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+              for _ in range(5)]
+    blob = IF.encode_video(frames, "png", 12)
+    f2, fmt, fps = IF.decode_video(blob)
+    assert fmt == "png" and fps == 12 and len(f2) == 5
+    assert all(np.array_equal(a, b) for a, b in zip(frames, f2))
+    with pytest.raises(IF.CorruptVideoError):
+        IF.decode_video(blob[:-3])
+    with pytest.raises(IF.CorruptVideoError):
+        IF.decode_video(b"nope")
+
+
+def test_frame_sample_stage_explode_and_quarantine():
+    rng = np.random.default_rng(1)
+    frames = [rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+              for _ in range(7)]
+    good = IF.encode_video(frames, "bmp", 24)
+    out = FrameSampleStage(every_n=3)(pa.table({
+        "video_id": pa.array(["v0", "v1"]),
+        "bytes": pa.array([good, b"corrupt"], type=pa.binary()),
+    }))
+    d = out.to_pydict()
+    # v0: frames 0, 3, 6 sampled; v1: one quarantine row
+    assert d["video_id"] == ["v0", "v0", "v0", "v1"]
+    assert d["frame_idx"] == [0, 3, 6, -1]
+    assert d["decode_err"][:3] == [None] * 3
+    assert d["decode_err"][3] is not None and d["frame_bytes"][3] is None
+    # sampled frame bytes decode back to the original frames
+    for j, fi in enumerate([0, 3, 6]):
+        arr, _ = IF.decode_image(d["frame_bytes"][j])
+        assert np.array_equal(arr, frames[fi])
+        assert d["frame_ahash"][j] == IF.average_hash64(frames[fi])
 
 
 def test_audio_stub():
