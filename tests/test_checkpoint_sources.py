@@ -135,3 +135,61 @@ def test_render_describe_report():
     out = render_describe("demo", stats, 0.5)
     assert "DATA QUALITY REPORT" in out and "demo" in out
     assert "rating:" in out and "x" in out and "s" in out
+
+
+def test_read_table_parquet_fallback(ray_session):
+    """read_table dispatch: lance lib absent in this sandbox (or the
+    path isn't a Lance dataset) -> parquet branch; result is a normal
+    Dataset over the file."""
+    from dataquality_cli_ray.sources.readers import read_table
+
+    ds = read_table("/root/testdata/sf0.001/nation.parquet",
+                    columns=["n_nationkey", "n_name"])
+    assert ds.count() == 25
+    assert set(ds.schema().names) == {"n_nationkey", "n_name"}
+
+
+def test_completed_shards_tolerates_junk(tmp_path):
+    """Leftover 'shard=N.tmp' dirs (crash mid-write) and unrelated
+    entries must not break resume startup (ADVICE r1)."""
+    import json
+    import os
+
+    from dataquality_cli_ray.state.checkpoint import completed_shards
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "shard=0"))
+    with open(os.path.join(root, "shard=0", "manifest.json"), "w") as f:
+        json.dump({"shard": 0, "input_fragments": ["a"]}, f)
+    os.makedirs(os.path.join(root, "shard=1.tmp"))      # crash leftover
+    os.makedirs(os.path.join(root, "shard=2"))          # no manifest
+    os.makedirs(os.path.join(root, "notashard"))
+    assert completed_shards(root) == {0}
+
+
+def test_resume_invalidates_shifted_boundaries(ray_session, tmp_path):
+    """If the input file list changes between runs, shards whose
+    fragment lists shifted must re-run, not silently reuse stale
+    outputs (ADVICE r1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    from dataquality_cli_ray.state.checkpoint import run_resumable
+
+    files = []
+    for i in range(3):
+        p = str(tmp_path / f"in_{i}.parquet")
+        pq.write_table(pa.table({"x": [i * 10 + j for j in range(5)]}), p)
+        files.append(p)
+    out = str(tmp_path / "out")
+    r1 = run_resumable(files[1:], out, lambda fs: rd.read_parquet(fs),
+                       shard_size=1)
+    assert r1["shards_run"] == 2
+    # prepend a file that sorts first -> every boundary shifts
+    r2 = run_resumable(files, out, lambda fs: rd.read_parquet(fs),
+                       shard_size=1)
+    assert r2["shards_total"] == 3 and r2["shards_run"] == 3
+    r3 = run_resumable(files, out, lambda fs: rd.read_parquet(fs),
+                       shard_size=1)
+    assert r3["shards_skipped"] == 3
