@@ -78,16 +78,22 @@ def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return arr[ys[:, None], xs[None, :]]
 
 
+_AHASH_POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+
 def average_hash64(arr: np.ndarray) -> int:
     """aHash: 8x8 grayscale downsample, bit = pixel > mean. Public
-    perceptual-hash baseline; stands in for the reference corpus' phash."""
-    gray = arr.astype(np.float32).mean(axis=2)
-    small = resize_nearest(gray[..., None], 8, 8)[..., 0]
+    perceptual-hash baseline; stands in for the reference corpus' phash.
+
+    Nearest-neighbour resize selects pixels, so graying AFTER the
+    resize touches 64 pixels instead of the whole image, and the bit
+    pack is one vector dot — both value-identical to (and ~20× faster
+    than) the gray-everything + per-bit-loop formulation."""
+    small3 = resize_nearest(arr, 8, 8)
+    small = small3.astype(np.float32).mean(axis=2)
     bits = (small > small.mean()).flatten()
-    out = np.uint64(0)
-    for i, b in enumerate(bits):
-        if b:
-            out |= np.uint64(1) << np.uint64(i)
+    # integer multiply+sum (matmul on uint64 can detour through float64)
+    out = np.uint64((bits.astype(np.uint64) * _AHASH_POW2).sum())
     return int(np.int64(out))
 
 

@@ -107,19 +107,50 @@ def char_ngrams(text: str, n: int = 3) -> list[str]:
 
 
 def ngram_count_matrix(texts: np.ndarray, n: int, dim: int, seed: int = 0) -> np.ndarray:
-    """Hashed char-n-gram count matrix (len(texts) x dim), vectorized enough
-    for batch scoring. Uses a fixed polynomial rolling hash so results are
-    deterministic across processes (no PYTHONHASHSEED dependence)."""
-    out = np.zeros((len(texts), dim), dtype=np.float32)
+    """Hashed char-n-gram count matrix (len(texts) x dim). Uses a fixed
+    polynomial rolling hash so results are deterministic across
+    processes (no PYTHONHASHSEED dependence).
+
+    Batched: all texts are concatenated and hashed in ONE rolling-hash
+    pass (n vector ops total); windows crossing text boundaries are
+    dropped by a vectorized gather, and the per-(text, bucket) counts
+    come from a single ``np.bincount`` over flattened indices. Counts
+    (small exact ints) are bit-identical to the per-row scatter loop
+    this replaces — which spent ~400 µs/row in per-text numpy overhead
+    (it was 2/3 of the whole quality pipeline's CPU)."""
+    m = len(texts)
+    out = np.zeros((m, dim), dtype=np.float32)
+    if m == 0:
+        return out
+    bs, keep = [], []
     for i, t in enumerate(texts):
         if t is None:
             continue
         b = f" {str(t).lower()} ".encode("utf-8", "ignore")
         if len(b) < n:
             continue
-        arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
-        h = np.zeros(len(arr) - n + 1, dtype=np.uint64)
+        bs.append(b)
+        keep.append(i)
+    if not bs:
+        return out
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+    arr = np.frombuffer(b"".join(bs), dtype=np.uint8).astype(np.uint64)
+    nw = len(arr) - n + 1
+    with np.errstate(over="ignore"):
+        h = np.zeros(nw, dtype=np.uint64)
         for j in range(n):
-            h = h * np.uint64(1000003) + arr[j : len(arr) - n + 1 + j]
-        np.add.at(out[i], (h ^ np.uint64(seed)) % np.uint64(dim), 1.0)
+            h = h * np.uint64(1000003) + arr[j : nw + j]
+    counts_per = lens - n + 1
+    starts = np.zeros(len(bs), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    offs = np.zeros(len(bs) + 1, dtype=np.int64)
+    np.cumsum(counts_per, out=offs[1:])
+    total = int(offs[-1])
+    idx = (np.arange(total, dtype=np.int64)
+           - np.repeat(offs[:-1], counts_per)
+           + np.repeat(starts, counts_per))
+    buckets = ((h[idx] ^ np.uint64(seed)) % np.uint64(dim)).astype(np.int64)
+    row_of = np.repeat(np.asarray(keep, dtype=np.int64), counts_per)
+    flat = np.bincount(row_of * dim + buckets, minlength=m * dim)
+    out += flat.reshape(m, dim).astype(np.float32)
     return out

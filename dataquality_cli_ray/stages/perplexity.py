@@ -54,6 +54,51 @@ def merge_char_lm(models: list[dict]) -> dict:
     return out
 
 
+def score_texts_batch(model: dict, texts) -> np.ndarray:
+    """Bits/char for a whole batch in one pass: all texts concatenate
+    into one byte array, tri/bi-gram hashes roll over the concatenation
+    (windows crossing text boundaries dropped by a vectorized gather),
+    and per-text means come from one ``add.reduceat`` — the per-text
+    :func:`score_text` loop spent ~50 µs/row in numpy call overhead.
+    Per-position probabilities are identical to ``score_text``; the
+    per-text mean differs only in float summation order (≤ ~1 ulp)."""
+    m = len(texts)
+    scores = np.full(m, np.inf, dtype=np.float64)
+    bs, keep = [], []
+    for i, t in enumerate(texts):
+        if t:
+            bs.append(f"  {str(t).lower()} ".encode("utf-8", "ignore"))
+            keep.append(i)
+    if not bs:
+        return scores
+    dim, order, k, V = model["dim"], model["order"], model["k"], model["vocab"]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+    arr = np.frombuffer(b"".join(bs), dtype=np.uint8)
+
+    def roll(n: int) -> np.ndarray:
+        nw = len(arr) - n + 1
+        h = np.zeros(nw, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(n):
+                h = h * _P + arr[j : nw + j].astype(np.uint64)
+        return (h % np.uint64(dim)).astype(np.int64)
+
+    h3_all, h2_all = roll(order), roll(order - 1)
+    counts = lens - order + 1          # trigram windows per text (>= 2)
+    starts = np.zeros(len(bs), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    offs = np.zeros(len(bs) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    idx = (np.arange(int(offs[-1]), dtype=np.int64)
+           - np.repeat(offs[:-1], counts)
+           + np.repeat(starts, counts))
+    p = (model["tri"][h3_all[idx]] + k) / (model["bi"][h2_all[idx]] + k * V)
+    logs = -np.log2(p)
+    sums = np.add.reduceat(logs, offs[:-1])
+    scores[np.asarray(keep, dtype=np.int64)] = sums / counts
+    return scores
+
+
 def score_text(model: dict, text: str) -> float:
     """Bits/char of one text under the model (add-k smoothing)."""
     if not text:
@@ -86,9 +131,7 @@ class PerplexityScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        scores = np.array(
-            [score_text(self.model, t or "") for t in texts], dtype=np.float64
-        )
+        scores = score_texts_batch(self.model, texts)
         # inf (empty text) -> large sentinel; such rows are already
         # dropped by null_blank, keep the column finite for Arrow/SQL.
         scores = np.where(np.isfinite(scores), scores, 999.0)
