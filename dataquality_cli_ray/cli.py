@@ -88,6 +88,7 @@ def cmd_describe(args) -> int:
     reports = []
     path = args.path
     opts = DiscoveryOptions(recursive=args.recursive)
+    mode = getattr(args, "mode", "exact")
     if os.path.isdir(path):
         try:
             files = [f["path"] for f in discover_files(path, "parquet", opts)]
@@ -99,7 +100,7 @@ def cmd_describe(args) -> int:
             from .pipelines.profiler import describe_directory
 
             s = time.time()
-            per_file = describe_directory(sorted(files))
+            per_file = describe_directory(sorted(files), mode=mode)
             dt = time.time() - s
             for f in sorted(per_file):
                 reports.append(render_describe(os.path.basename(f),
@@ -113,7 +114,7 @@ def cmd_describe(args) -> int:
                                                time.time() - s))
     else:
         reader = read_csv_auto if path.lower().endswith(".csv") else rd.read_parquet
-        stats = describe(reader(path))
+        stats = describe(reader(path), mode=mode)
         reports.append(render_describe(os.path.basename(path), stats,
                                        time.time() - t0))
     out = "\n\n".join(reports) + f"\n\nTotal elapsed: {time.time()-t0:.3f}s\n"
@@ -142,8 +143,14 @@ def cmd_quality(args) -> int:
         return 2
     cfg = QualityConfig()
     langid_model, ppl_model = build_models()
+    # dedup decision over ALL inputs (cross-shard correctness), pruned
+    # scan; auto-switches driver-merge -> groupby shuffle on size
+    import pyarrow.parquet as pq
+
+    nrows = sum(pq.read_metadata(f).num_rows for f in files)
     dup_map = phash_dup_losers(
-        rd.read_parquet(files, columns=[cfg.dedup_key, cfg.id_col]))
+        rd.read_parquet(files, columns=[cfg.dedup_key, cfg.id_col]),
+        mode=args.dedup_mode, approx_rows=nrows)
 
     def pipeline(shard_files):
         return quality_pipeline(rd.read_parquet(shard_files), dup_map, cfg,
@@ -166,6 +173,10 @@ def main(argv=None) -> int:
     d.add_argument("--recursive", action="store_true")
     d.add_argument("--output")
     d.add_argument("--num-cpus", type=int, default=None)
+    d.add_argument("--mode", choices=["exact", "sketch"], default="exact",
+                   help="engine selection: exact stats, or bounded-memory "
+                        "sketches (HLL distincts, weighted quantile sketch)"
+                        " — the 100 TB profile mode")
     d.set_defaults(fn=cmd_describe)
 
     q = sub.add_parser("quality", help="run the quality-filter pipeline")
@@ -173,6 +184,10 @@ def main(argv=None) -> int:
     q.add_argument("--output", required=True)
     q.add_argument("--shard-size", type=int, default=16)
     q.add_argument("--num-cpus", type=int, default=None)
+    q.add_argument("--dedup-mode", choices=["auto", "driver", "shuffle"],
+                   default="auto",
+                   help="phash-dedup aggregation: driver merge below "
+                        "the footer-row threshold, groupby shuffle above")
     q.set_defaults(fn=cmd_quality)
 
     args = ap.parse_args(argv)

@@ -12,8 +12,11 @@ Skew/scale notes:
 - exact dedup pre-combines per batch (one row per key per batch), so a
   hot key's group is bounded by #blocks (combiner = salted groupby).
 - LSH bucket sizes are capped (``max_bucket``); overflowing buckets are
-  truncated deterministically and counted in the returned stats rather
-  than silently exploding O(n²) pair generation.
+  truncated deterministically with the drop LOGGED (no silent caps)
+  rather than silently exploding O(n²) pair generation.
+- bucket counting is a combiner + ``groupby`` shuffle; only the
+  non-singleton keys (candidate duplicates) broadcast back — no
+  O(rows × bands) driver state anywhere on the dedup path.
 """
 
 from __future__ import annotations
