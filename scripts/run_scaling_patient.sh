@@ -17,8 +17,9 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   for leg in 32 8; do
     ray stop --force >/dev/null 2>&1; sleep 2
     L0=$(load)
-    J=$(RAY_GRAFT_CPUS=$leg BENCH_HEADLINE_ONLY=1 IMAGES_BENCH_ROWS=$ROWS \
-        timeout 900 python bench.py 2>/dev/null | tail -1)
+    J=$(RAY_GRAFT_CPUS=$leg BENCH_HEADLINE_ONLY=1 \
+        BENCH_HEADLINE_REPEAT=${LEG_REPEAT:-4} IMAGES_BENCH_ROWS=$ROWS \
+        timeout 1200 python bench.py 2>/dev/null | tail -1)
     L1=$(load)
     [ -n "$J" ] || J=null
     echo "{\"leg\": $leg, \"rows\": $ROWS, \"load_before\": $L0, \"load_after\": $L1, \"result\": $J}" >> $OUT
