@@ -97,16 +97,30 @@ def train_langid_on_dataset(
     return merge_langid_partials(parts)
 
 
+_SCORER_CACHE: dict = {}
+
+
 def classify_language(
     ds: "rd.Dataset", model: dict, text_col: str = "text",
     id_col: str = "doc_id",
 ) -> "rd.Dataset":
-    """(id, lang_pred, lang_score) via the actor-pool scorer."""
+    """(id, lang_pred, lang_score) via the scorer as stateless tasks
+    with a per-worker-process model cache (same once-per-worker load
+    semantics as an actor pool, none of the pool spin-up)."""
     ref = ray.put(model)
+
+    def score(batch):
+        key = ref.hex() if hasattr(ref, "hex") else id(ref)
+        sc = _SCORER_CACHE.get((key, text_col))
+        if sc is None:
+            sc = LangIdScorer(model_ref=ref, text_col=text_col)
+            if len(_SCORER_CACHE) > 16:
+                _SCORER_CACHE.clear()
+            _SCORER_CACHE[(key, text_col)] = sc
+        return sc(batch)
+
     out = ds.select_columns([id_col, text_col]).map_batches(
-        LangIdScorer,
-        fn_constructor_kwargs={"model_ref": ref, "text_col": text_col},
-        batch_format="pyarrow", batch_size=4096, concurrency=(2, 8),
+        score, batch_format="pyarrow", batch_size=4096,
     )
     return out.select_columns([id_col, "lang_pred", "lang_score"])
 
