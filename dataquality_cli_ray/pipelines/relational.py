@@ -25,6 +25,21 @@ from ray.data.aggregate import Count, Mean, Sum
 
 from ..functions.rounding import round_half_up
 
+# per-WORKER-PROCESS broadcast cache (once-per-worker fetch for
+# stateless-task stages; Ray reuses worker processes across tasks)
+_WORKER_CACHE: dict = {}
+
+
+def _cached_ref(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    v = _WORKER_CACHE.get(key)
+    if v is None:
+        v = ray.get(ref)
+        if len(_WORKER_CACHE) > 32:
+            _WORKER_CACHE.clear()
+        _WORKER_CACHE[key] = v
+    return v
+
 
 def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> pd.DataFrame:
     """TPC-H Q1-style pricing summary over lineitem (the flagship
@@ -80,24 +95,20 @@ def revenue_by_segment(sf_dir: str) -> pd.DataFrame:
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
     # dimension ships once as two parallel Arrow arrays; the lookup is a
-    # fully vectorized index_in + take (no per-row Python)
+    # fully vectorized index_in + take (no per-row Python); stateless
+    # tasks fetch the broadcast once per worker (module cache)
     ref = ray.put((cust["c_custkey"].combine_chunks(),
                    cust["c_mktsegment"].combine_chunks()))
 
-    class AddSegment:
-        def __init__(self):
-            self.keys, self.segs = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            idx = pc.index_in(batch["o_custkey"], value_set=self.keys)
-            segs = pc.take(self.segs, idx)
-            return batch.append_column("c_mktsegment", segs)
+    def add_segment(batch: pa.Table) -> pa.Table:
+        keys, segs = _cached_ref(ref)
+        idx = pc.index_in(batch["o_custkey"], value_set=keys)
+        return batch.append_column("c_mktsegment", pc.take(segs, idx))
 
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_custkey", "o_totalprice"])
     agg = (
-        ds.map_batches(AddSegment, batch_format="pyarrow", batch_size=65536,
-                       concurrency=(1, 4))
+        ds.map_batches(add_segment, batch_format="pyarrow", batch_size=65536)
         .groupby("c_mktsegment")
         .aggregate(Sum("o_totalprice", alias_name="revenue"),
                    Count(alias_name="n_orders"))
@@ -162,19 +173,15 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     keyset = pa.array(sorted(set(keys.to_pylist())), type=pa.int64())
     ref = ray.put(keyset)
 
-    class AntiFilter:
-        def __init__(self):
-            self.keys = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            hit = pc.is_in(batch["c_custkey"].cast(pa.int64()),
-                           value_set=self.keys)
-            return batch.filter(pc.invert(hit))
+    def anti_filter(batch: pa.Table) -> pa.Table:
+        hit = pc.is_in(batch["c_custkey"].cast(pa.int64()),
+                       value_set=_cached_ref(ref))
+        return batch.filter(pc.invert(hit))
 
     ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
-    df = ds.map_batches(AntiFilter, batch_format="pyarrow",
-                        batch_size=65536, concurrency=(1, 4)).to_pandas()
+    df = ds.map_batches(anti_filter, batch_format="pyarrow",
+                        batch_size=65536).to_pandas()
     if df.empty:
         return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
                              "c_mktsegment": pd.Series(dtype="object")})
