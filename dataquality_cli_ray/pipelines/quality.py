@@ -171,14 +171,23 @@ def phash_dup_losers(proj_ds: "rd.Dataset", mode: str = "auto",
         return out
     import pandas as pd
 
-    # driver merge, fully vectorized on the int64 key. A naive groupby
-    # over the STRING winner column is pathological (~1 object-min per
-    # distinct key); instead: (1) int64 count-sum to find the few
-    # duplicated keys, (2) resolve winners only for those rows.
-    ph_l, w_l, c_l = [], [], []
-    for b in combined.iter_batches(batch_size=262144, batch_format="pyarrow"):
+    # driver merge in two int-dominated phases — shipping the STRING
+    # winner column for every distinct key was the measured cost (the
+    # merge itself is a fast int64 groupby):
+    # (1) stream only (phash:int64, cnt:int64) combiner rows, count-sum
+    #     on the driver to find the few globally-duplicated keys;
+    # (2) filter the SAME combined stream's (phash, winner) rows to
+    #     those keys (broadcast sorted-key filter on workers) and
+    #     resolve min-winner over the tiny dup subset only.
+    # consumed twice (counts, then filtered winners): pin the combined
+    # rows — (phash, winner, cnt), one row per key per batch — in the
+    # object store so the scan+combine doesn't run twice
+    combined = combined.materialize()
+    counts_only = combined.select_columns(["phash", "cnt"])
+    ph_l, c_l = [], []
+    for b in counts_only.iter_batches(batch_size=262144,
+                                      batch_format="pyarrow"):
         ph_l.append(b["phash"].to_numpy(zero_copy_only=False))
-        w_l.append(b["winner"])
         c_l.append(b["cnt"].to_numpy(zero_copy_only=False))
     if not ph_l:
         return {}
@@ -189,16 +198,24 @@ def phash_dup_losers(proj_ds: "rd.Dataset", mode: str = "auto",
     if len(dup_keys) == 0:
         return {}
     dup_sorted = np.sort(dup_keys)
-    idx = np.clip(np.searchsorted(dup_sorted, ph), 0, len(dup_sorted) - 1)
-    mask = dup_sorted[idx] == ph
-    winners_all = pa.concat_arrays(
-        [w.combine_chunks() if isinstance(w, pa.ChunkedArray) else w
-         for w in w_l])
-    sub_w = np.asarray(winners_all.filter(pa.array(mask)).to_pylist(),
-                       dtype=object)
-    sub_ph = ph[mask]
-    g = pd.Series(sub_w).groupby(pd.Series(sub_ph), sort=False).min()
-    return dict(zip(g.index.to_numpy(), g.to_numpy()))
+    keys_ref = ray.put(dup_sorted)
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        kk = t["phash"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(keys, kk), 0, len(keys) - 1)
+        return t.filter(pa.array(keys[idx] == kk))
+
+    out: dict[int, str] = {}
+    dup_rows = combined.select_columns(["phash", "winner"]).map_batches(
+        only_dups, batch_format="pyarrow", batch_size=262144)
+    for b in dup_rows.iter_batches(batch_size=262144,
+                                   batch_format="pyarrow"):
+        for k, w in zip(b["phash"].to_pylist(), b["winner"].to_pylist()):
+            prev = out.get(k)
+            if prev is None or w < prev:
+                out[k] = w
+    return out
 
 
 @ray.remote(num_cpus=0)
