@@ -184,7 +184,8 @@ def main(argv=None) -> int:
     q.add_argument("--output", required=True)
     q.add_argument("--shard-size", type=int, default=16)
     q.add_argument("--num-cpus", type=int, default=None)
-    q.add_argument("--dedup-mode", choices=["auto", "driver", "shuffle"],
+    q.add_argument("--dedup-mode",
+                   choices=["auto", "driver", "partitioned", "shuffle"],
                    default="auto",
                    help="phash-dedup aggregation: driver merge below "
                         "the footer-row threshold, groupby shuffle above")

@@ -103,3 +103,19 @@ def test_lineage_summary(ray_session, pipeline_and_golden):
     expected = m["drop_reason"].fillna("KEEP").value_counts().to_dict()
     got = {(k or "KEEP"): v for k, v in zip(lin["drop_reason"], lin["n"])}
     assert got == expected
+
+
+def test_dup_loser_modes_identical(ray_session, images_path):
+    """driver / partitioned / shuffle dup decisions are value-identical
+    (partitioned is what mode='auto' selects at scale)."""
+    import ray.data as rd
+    from dataquality_cli_ray.pipelines.quality import phash_dup_losers
+
+    def run(mode):
+        proj = rd.read_parquet(images_path, columns=["phash", "image_id"])
+        return phash_dup_losers(proj, mode=mode)
+
+    ref = run("driver")
+    assert len(ref) > 0          # fixture has a hot phash bucket
+    assert run("partitioned") == ref
+    assert run("shuffle") == ref
