@@ -196,6 +196,9 @@ def _dup_losers_partitioned(combined: "rd.Dataset",
     No driver-side state proportional to distinct keys: the driver only
     touches block refs and the final per-partition dup maps (O(actual
     duplicates)). Scales with CPUs at every stage."""
+    # P >= 2 always: with num_returns=1 Ray would hand the merge task
+    # the whole returned LIST instead of unpacking it per partition
+    P = max(2, P)
     refs = combined.to_arrow_refs()
     if not refs:
         return {}
@@ -207,8 +210,6 @@ def _dup_losers_partitioned(combined: "rd.Dataset",
         split_outs.append(
             _dup_split_task.options(num_returns=P).remote(
                 P, *refs[i : i + group]))
-    if P == 1:
-        split_outs = [[r] for r in split_outs]
     merged = [
         _dup_merge_task.remote(*[s[p] for s in split_outs])
         for p in range(P)
