@@ -194,7 +194,15 @@ def _multifile_dir() -> tuple[str, int]:
 
 
 def run_scaling() -> dict:
-    """Same headline job at num_cpus=8 and 32 in fresh processes."""
+    """Same headline job at num_cpus=8 and 32 in fresh processes.
+
+    Each leg is CPU-pinned (``taskset -c 0-(N-1)``) to emulate an
+    N-core NODE: ``ray.init(num_cpus=N)`` only caps task concurrency —
+    without the affinity mask the 8-CPU leg's process tree (raylet,
+    object store, driver, spill threads, any BLAS pools) still spreads
+    over all 32 physical cores, which a real 8-core node cannot do,
+    inflating the small leg and understating scaling efficiency.
+    """
     # larger input for the scaling comparison: at 100k rows the job is
     # overhead-dominated and CPU count barely matters (12.5k rows/CPU at
     # 32); 1.6M rows (~50k rows/CPU) makes compute the bottleneck so the
@@ -204,8 +212,11 @@ def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    BENCH_HEADLINE_ONLY="1", IMAGES_BENCH_ROWS=scaling_rows)
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["/usr/bin/taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            cmd,
             env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout

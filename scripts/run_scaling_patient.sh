@@ -1,27 +1,56 @@
 #!/bin/bash
 # Patient scaling campaign: until DEADLINE_TS (epoch secs), whenever
-# the machine is quiet (load < 2), run one (32, 8) pair at $SCALING_ROWS
+# the machine is actually quiet, run one (32, 8) pair at $SCALING_ROWS
 # and append to /tmp/scaling_results.jsonl. Designed for a host with a
 # bursty co-tenant: attempts simply wait out bursts; minima across
 # attempts estimate uncontended times.
+#
+# Each leg is CPU-pinned (taskset -c 0-(N-1)) to emulate an N-core
+# NODE: ray num_cpus only caps task concurrency, not where the process
+# tree's threads (raylet, object store, driver, BLAS) physically run.
+#
+# Quiet gate: busy-CPU fraction from /proc/stat over a 2 s window
+# (loadavg lags by minutes and counts our own just-finished legs).
+# Coordination: if /tmp/graft_busy exists, we hold off (the interactive
+# session is running its own tests/benches).
 DEADLINE=${DEADLINE_TS:-$(( $(date +%s) + 3600 ))}
 ROWS=${SCALING_ROWS:-3200000}
 OUT=/tmp/scaling_results.jsonl
-load() { cut -d' ' -f1 /proc/loadavg; }
+
+busy_cpus() {  # number of non-idle CPUs averaged over 2 s
+  python3 - <<'EOF'
+import time
+def snap():
+    f = open('/proc/stat').readline().split()
+    v = list(map(int, f[1:]))
+    idle = v[3] + v[4]
+    return idle, sum(v)
+i0, t0 = snap(); time.sleep(2); i1, t1 = snap()
+dt = t1 - t0
+print(round(32 * (1 - (i1 - i0) / dt), 1) if dt else 99)
+EOF
+}
+
+quiet() {  # true when co-tenant + residue use < QUIET_CPUS cores
+  [ -e /tmp/graft_busy ] && return 1
+  B=$(busy_cpus)
+  python3 -c "import sys; sys.exit(0 if float('$B') < ${QUIET_CPUS:-3} else 1)"
+}
+
 cd /root/repo
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
-  L=$(load)
-  if ! python3 -c "import sys; sys.exit(0 if float('$L') < 2 else 1)"; then
-    sleep 15; continue
-  fi
+  if ! quiet; then sleep 10; continue; fi
   for leg in 32 8; do
     ray stop --force >/dev/null 2>&1; sleep 2
-    L0=$(load)
+    # re-gate each leg: the pair is only useful if both legs are clean
+    for i in $(seq 60); do quiet && break; sleep 10; done
+    L0=$(cut -d' ' -f1 /proc/loadavg)
+    B0=$(busy_cpus)
     J=$(RAY_GRAFT_CPUS=$leg BENCH_HEADLINE_ONLY=1 \
-        BENCH_HEADLINE_REPEAT=${LEG_REPEAT:-4} IMAGES_BENCH_ROWS=$ROWS \
-        timeout 1200 python bench.py 2>/dev/null | tail -1)
-    L1=$(load)
+        BENCH_HEADLINE_REPEAT=${LEG_REPEAT:-3} IMAGES_BENCH_ROWS=$ROWS \
+        timeout 1800 taskset -c 0-$((leg - 1)) python bench.py 2>/dev/null | tail -1)
+    L1=$(cut -d' ' -f1 /proc/loadavg)
     [ -n "$J" ] || J=null
-    echo "{\"leg\": $leg, \"rows\": $ROWS, \"load_before\": $L0, \"load_after\": $L1, \"result\": $J}" >> $OUT
+    echo "{\"leg\": $leg, \"rows\": $ROWS, \"pinned\": true, \"busy_before\": $B0, \"load_before\": $L0, \"load_after\": $L1, \"result\": $J}" >> $OUT
   done
 done
