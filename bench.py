@@ -114,6 +114,7 @@ def run_benchmarks() -> dict:
           lambda: describe(rd.read_parquet(f"{SF_DIR}/lineitem.parquet")))
     timed("revenue_by_segment", lambda: R.revenue_by_segment(SF_DIR))
     timed("events_hourly", lambda: R.events_hourly(SF_DIR))
+    timed("events_last_order", lambda: R.events_last_order(SF_DIR))
     timed("docs_dedup_exact", lambda: DD.exact_dedup_by_text(
         rd.read_parquet(f"{SF_DIR}/documents.parquet",
                         columns=["doc_id", "text"]), "text", "doc_id").count())

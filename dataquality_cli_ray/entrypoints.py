@@ -537,6 +537,21 @@ def q_events_props_k(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("event_type").reset_index(drop=True)
 
 
+SQL_EVENTS_LAST_ORDER = """WITH ded AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+), o2 AS (
+  SELECT d.o_custkey, d.o_orderdate, d.o_orderkey, o.o_totalprice
+  FROM ded d JOIN orders o ON o.o_orderkey = d.o_orderkey
+)
+SELECT e.user_id::BIGINT AS user_id, e.ts,
+       e.event_id::BIGINT AS event_id,
+       o2.o_orderkey::BIGINT AS o_orderkey, o2.o_totalprice
+FROM events e ASOF JOIN o2
+  ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate
+ORDER BY event_id"""
+
+
 SQL_EVENTS_PROPS_K = """SELECT event_type,
  sum(coalesce(regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT, 0))::BIGINT AS k_sum,
  count(*)::BIGINT AS n
@@ -605,6 +620,20 @@ def q_ann_topk_lsh(sf_dir: str) -> pd.DataFrame:
     Q, qids = SIM.load_query_vectors(sf_dir, ANN_NQ)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     res = SIM.lsh_topk(ds, Q, qids, ANN_K, dim=Q.shape[1]).to_pandas()
+    res["score"] = round_half_up(res["score"], 6)
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def q_ann_topk_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN (trained coarse quantizer + cell-probed search).
+    Deterministic: k-means init = smallest ids, fixed iteration count,
+    FIXED block plan (override_num_blocks) so float partial-sum order
+    is identical regardless of cluster size -> golden-parquet oracle."""
+    Q, qids = SIM.load_query_vectors(sf_dir, ANN_NQ)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         override_num_blocks=8)
+    res = SIM.ivf_topk(ds, Q, qids, ANN_K, n_cells=16, nprobe=4,
+                       iters=3).to_pandas()
     res["score"] = round_half_up(res["score"], 6)
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
@@ -790,6 +819,7 @@ GOLDEN_QUERIES = [
     "docs_simhash_pairs",
     "docs_winnow",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "embedding_dup_lsh",
     "images_quality",
     "images_describe",
@@ -837,6 +867,7 @@ def build_queries() -> dict:
         "dup_event_groups": lambda d: R.dup_event_groups(d),
         "events_props_k": q_events_props_k,
         "events_session_windows": lambda d: R.session_windows(d),
+        "events_last_order": lambda d: R.events_last_order(d),
         "customers_without_orders": lambda d: R.customers_without_orders(d),
         # text analysis
         "docs_token_stats": q_docs_token_stats,
@@ -858,6 +889,7 @@ def build_queries() -> dict:
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_winnow": q_docs_winnow,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_dup_lsh": q_embedding_dup_lsh,
         "images_quality": q_images_quality,
         "images_describe": q_images_describe,
@@ -881,6 +913,7 @@ def build_oracles() -> dict:
         "dup_event_groups": SQL_DUP_EVENTS,
         "events_props_k": SQL_EVENTS_PROPS_K,
         "events_session_windows": sql_session_windows(),
+        "events_last_order": SQL_EVENTS_LAST_ORDER,
         "customers_without_orders": (
             "SELECT c_custkey::BIGINT AS c_custkey, c_mktsegment FROM customer "
             "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "

@@ -249,3 +249,156 @@ def dup_event_groups(sf_dir: str) -> pd.DataFrame:
     df["cnt"] = df["cnt"].astype("int64")
     df = df[df["cnt"] > 1].reset_index(drop=True)
     return df.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# as-of join (custom wide operator Ray Data lacks natively)
+# ---------------------------------------------------------------------------
+
+def asof_join(
+    left_ds: "rd.Dataset",
+    right_ds: "rd.Dataset",
+    left_on: str,
+    right_on: str,
+    left_by: str,
+    right_by: str,
+    right_cols: list[str],
+    tie_col: str | None = None,
+    how: str = "inner",
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """As-of join: each left row picks the LATEST right row of the same
+    key with ``right_on`` <= ``left_on`` (backward as-of, exact matches
+    allowed). Returns all left columns plus ``right_cols``.
+
+    Ray shape (composition (a) of the custom-operator ladder): map both
+    sides onto ONE superset schema (missing columns as typed nulls, a
+    ``__side`` tag, unified ``__key``/``__t``), union them, hash the key
+    into ``num_buckets`` partitions, and resolve each bucket with a
+    vectorized sorted merge (``pd.merge_asof`` per bucket — NOT per
+    key: group count stays ``num_buckets``).
+
+    Partitioning assumption (100 TB): ALL rows of one key must land in
+    one bucket — an as-of key can't be salted because its timeline must
+    be scanned together. Per-bucket memory is bounded by scaling
+    ``num_buckets`` with the data (buckets shrink linearly); the hot-key
+    bound is the largest single key's row count. For keys that outgrow a
+    worker, range-partition by (key, time) and broadcast each leading
+    partition's last right row instead.
+
+    ``tie_col``: deterministic tie-break when several right rows share
+    (key, time) — the row with the MAX ``tie_col`` wins (both engines
+    must agree; the SQL oracle pre-dedupes the same way).
+    ``how``: "inner" drops left rows with no prior right row; "left"
+    keeps them with null right columns.
+    """
+    assert how in ("inner", "left"), how
+    left_schema = left_ds.schema()
+    left_cols = [n for n in left_schema.names]
+    l_types = dict(zip(left_schema.names, left_schema.types))
+    right_schema = right_ds.schema()
+    r_types = dict(zip(right_schema.names, right_schema.types))
+    payload_r = [c for c in right_cols]
+    tie = [tie_col] if tie_col and tie_col not in payload_r else []
+
+    # one superset schema both sides map onto (order fixed)
+    uni_fields = (
+        [("__side", pa.int8()), ("__key", pa.int64()),
+         ("__t", l_types[left_on])]
+        + [(c, l_types[c]) for c in left_cols if c not in (left_by, left_on)]
+        + [(c, r_types[c]) for c in payload_r + tie]
+    )
+    uni_names = [n for n, _ in uni_fields]
+    uni_types = dict(uni_fields)
+
+    def to_uni(side: int):
+        by, on = (left_by, left_on) if side == 0 else (right_by, right_on)
+
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = []
+            for name in uni_names:
+                if name == "__side":
+                    cols.append(pa.array(np.full(n, side, dtype=np.int8)))
+                elif name == "__key":
+                    cols.append(t[by].cast(pa.int64()))
+                elif name == "__t":
+                    cols.append(t[on].cast(uni_types["__t"]))
+                elif name in t.column_names:
+                    cols.append(t[name])
+                else:
+                    cols.append(pa.nulls(n, type=uni_types[name]))
+            u = pa.table(dict(zip(uni_names, cols)))
+            k = u["__key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            b = (k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)
+            return u.append_column("__bucket", pa.array(b.astype(np.int64)))
+
+        return fn
+
+    uni = left_ds.map_batches(
+        to_uni(0), batch_format="pyarrow", batch_size=65536
+    ).union(right_ds.map_batches(
+        to_uni(1), batch_format="pyarrow", batch_size=65536))
+
+    l_payload = [c for c in left_cols if c not in (left_by, left_on)]
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        L = g[g["__side"] == 0]
+        R = g[g["__side"] == 1]
+        if tie_col is not None and len(R):
+            R = R.sort_values(["__key", "__t", tie_col],
+                              kind="mergesort")
+            R = R.drop_duplicates(["__key", "__t"], keep="last")
+        Lc = L[["__key", "__t"] + l_payload].sort_values(
+            "__t", kind="mergesort")
+        if len(R) == 0:
+            if how == "inner" or len(Lc) == 0:
+                out = Lc.iloc[0:0].copy()
+                for c in payload_r:
+                    out[c] = pd.Series(dtype=R[c].dtype if c in R else object)
+                return _uni_out(out, left_by, left_on, l_payload, payload_r)
+            out = Lc.copy()
+            for c in payload_r:
+                out[c] = None
+            return _uni_out(out, left_by, left_on, l_payload, payload_r)
+        Rc = R[["__key", "__t"] + payload_r].sort_values(
+            "__t", kind="mergesort")
+        out = pd.merge_asof(Lc, Rc, on="__t", by="__key",
+                            direction="backward",
+                            suffixes=("", "__r"))
+        if how == "inner" and payload_r:
+            out = out[out[payload_r[0]].notna()]
+        return _uni_out(out, left_by, left_on, l_payload, payload_r)
+
+    return uni.groupby("__bucket").map_groups(
+        merge_bucket, batch_format="pandas")
+
+
+def _uni_out(df: pd.DataFrame, left_by: str, left_on: str,
+             l_payload: list[str], payload_r: list[str]) -> pd.DataFrame:
+    df = df.rename(columns={"__key": left_by, "__t": left_on})
+    return df[[left_by, left_on] + l_payload + payload_r]
+
+
+def events_last_order(sf_dir: str) -> pd.DataFrame:
+    """Showcase as-of join: for every event, the customer's most recent
+    order at-or-before the event time (inner semantics; deterministic
+    max-orderkey tie-break on same-day orders). Oracle: DuckDB
+    ``ASOF JOIN`` over the identically pre-deduped order side."""
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
+    out = asof_join(
+        events, orders,
+        left_on="ts", right_on="o_orderdate",
+        left_by="user_id", right_by="o_custkey",
+        right_cols=["o_orderkey", "o_totalprice"],
+        tie_col="o_orderkey", how="inner",
+    )
+    df = out.to_pandas()
+    df["event_id"] = df["event_id"].astype("int64")
+    df["user_id"] = df["user_id"].astype("int64")
+    df["o_orderkey"] = df["o_orderkey"].astype("int64")
+    return df.sort_values("event_id").reset_index(drop=True)

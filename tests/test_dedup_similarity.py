@@ -210,3 +210,35 @@ def test_quality_join_dedup_matches_broadcast(ray_session, images_path, models):
     b = b.sort_values("image_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert (b["drop_reason"] == "phash_dup").any()
+
+
+def test_ivf_topk_recall_vs_bruteforce(ray_session):
+    rng = np.random.default_rng(11)
+    n, d = 3000, 32
+    # clustered data so IVF cells are meaningful
+    centers = rng.standard_normal((8, d)) * 3
+    m = centers[rng.integers(0, 8, n)] + rng.standard_normal((n, d))
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(list(m.astype(np.float64)))})
+    ds = rd_mod.from_arrow(t)
+    Q, qids = m[:5], list(range(5))
+    bf = SIM.brute_force_topk(ds, Q, qids, 10).to_pandas()
+    ivf = SIM.ivf_topk(ds, Q, qids, 10, n_cells=16, nprobe=4,
+                       iters=3).to_pandas()
+    hits = 0
+    for q in qids:
+        got = set(ivf[ivf.query_id == q]["vec_id"])
+        want = set(bf[bf.query_id == q]["vec_id"])
+        hits += len(got & want)
+    assert hits / (len(qids) * 10) >= 0.8  # nprobe=4/16 cells
+
+
+def test_ivf_centroids_deterministic(ray_session):
+    rng = np.random.default_rng(5)
+    m = rng.standard_normal((500, 16))
+    t = pa.table({"vec_id": pa.array(np.arange(500, dtype=np.int64)),
+                  "embedding": pa.array(list(m.astype(np.float64)))})
+    ds = rd_mod.from_arrow(t)
+    c1 = SIM.ivf_centroids(ds, 8, iters=3)
+    c2 = SIM.ivf_centroids(ds, 8, iters=3)
+    assert np.array_equal(c1, c2)
