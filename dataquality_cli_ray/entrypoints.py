@@ -294,6 +294,42 @@ def _stopword_pattern() -> str:
     return r"\b(" + "|".join(STOPWORDS) + r")\b"
 
 
+def q_customers_csv(sf_dir: str) -> pd.DataFrame:
+    """CSV source through the driver gate (the reference's PRIMARY
+    format, S2-S6): the customer table round-tripped to a ';'-delimited
+    CSV (deterministic: sorted by key, shortest-roundtrip float repr),
+    read back via the delimiter-SNIFFING reader, aggregated per market
+    segment. The oracle computes the same over the parquet view — equal
+    results prove the CSV write/sniff/parse/typing path end to end."""
+    import os
+
+    from .sources.readers import read_csv_auto
+
+    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    csv_path = f"/tmp/dqray_fixtures/customer_{base}.csv"
+    if not os.path.exists(csv_path):
+        os.makedirs("/tmp/dqray_fixtures", exist_ok=True)
+        df = pd.read_parquet(f"{sf_dir}/customer.parquet").sort_values(
+            "c_custkey")
+        tmp = csv_path + ".tmp"
+        df.to_csv(tmp, sep=";", index=False)
+        os.replace(tmp, csv_path)
+    from ray.data.aggregate import Count, Sum
+
+    agg = read_csv_auto(csv_path).groupby("c_mktsegment").aggregate(
+        Sum("c_acctbal", alias_name="acctbal_sum"), Count(alias_name="n"))
+    df = agg.to_pandas()
+    df["acctbal_sum"] = round_half_up(df["acctbal_sum"], 6)
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SQL_CUSTOMERS_CSV = f"""SELECT c_mktsegment,
+ {sql_round('sum(c_acctbal)', 6)} AS acctbal_sum,
+ count(*)::BIGINT AS n
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+
 def q_docs_token_stats(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
     df = TQ.token_stats(ds).to_pandas()
@@ -870,6 +906,7 @@ def build_queries() -> dict:
         "events_last_order": lambda d: R.events_last_order(d),
         "customers_without_orders": lambda d: R.customers_without_orders(d),
         # text analysis
+        "customers_csv": q_customers_csv,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality_scores": q_docs_quality_scores,
         "docs_rules": q_docs_rules,
@@ -918,6 +955,7 @@ def build_oracles() -> dict:
             "SELECT c_custkey::BIGINT AS c_custkey, c_mktsegment FROM customer "
             "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
             "WHERE o_orderstatus = 'P') ORDER BY c_custkey"),
+        "customers_csv": SQL_CUSTOMERS_CSV,
         "docs_token_stats": sql_docs_token_stats(),
         "docs_quality_scores": sql_docs_quality_scores(),
         "docs_rules": sql_docs_rules(),
