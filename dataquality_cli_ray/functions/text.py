@@ -106,22 +106,21 @@ def char_ngrams(text: str, n: int = 3) -> list[str]:
     return [padded[i : i + n] for i in range(len(padded) - n + 1)]
 
 
-def ngram_count_matrix(texts: np.ndarray, n: int, dim: int, seed: int = 0) -> np.ndarray:
-    """Hashed char-n-gram count matrix (len(texts) x dim). Uses a fixed
-    polynomial rolling hash so results are deterministic across
-    processes (no PYTHONHASHSEED dependence).
+def ngram_hash_rows(
+    texts: np.ndarray, n: int, dim: int, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """All hashed char-n-gram occurrences of a batch as two parallel
+    int64 arrays ``(row_of, buckets)`` — the SPARSE form of the count
+    matrix (one entry per n-gram occurrence, not per (row, bucket)
+    cell). Uses a fixed polynomial rolling hash so results are
+    deterministic across processes (no PYTHONHASHSEED dependence).
 
     Batched: all texts are concatenated and hashed in ONE rolling-hash
     pass (n vector ops total); windows crossing text boundaries are
-    dropped by a vectorized gather, and the per-(text, bucket) counts
-    come from a single ``np.bincount`` over flattened indices. Counts
-    (small exact ints) are bit-identical to the per-row scatter loop
-    this replaces — which spent ~400 µs/row in per-text numpy overhead
-    (it was 2/3 of the whole quality pipeline's CPU)."""
-    m = len(texts)
-    out = np.zeros((m, dim), dtype=np.float32)
-    if m == 0:
-        return out
+    dropped by a vectorized gather. Texts that are None or shorter than
+    ``n`` after padding contribute no entries."""
+    if len(texts) == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
     bs, keep = [], []
     for i, t in enumerate(texts):
         if t is None:
@@ -132,7 +131,7 @@ def ngram_count_matrix(texts: np.ndarray, n: int, dim: int, seed: int = 0) -> np
         bs.append(b)
         keep.append(i)
     if not bs:
-        return out
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
     lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
     arr = np.frombuffer(b"".join(bs), dtype=np.uint8).astype(np.uint64)
     nw = len(arr) - n + 1
@@ -151,6 +150,24 @@ def ngram_count_matrix(texts: np.ndarray, n: int, dim: int, seed: int = 0) -> np
            + np.repeat(starts, counts_per))
     buckets = ((h[idx] ^ np.uint64(seed)) % np.uint64(dim)).astype(np.int64)
     row_of = np.repeat(np.asarray(keep, dtype=np.int64), counts_per)
+    return row_of, buckets
+
+
+def ngram_count_matrix(texts: np.ndarray, n: int, dim: int, seed: int = 0) -> np.ndarray:
+    """Hashed char-n-gram count matrix (len(texts) x dim), densified
+    from :func:`ngram_hash_rows` by one ``np.bincount``.
+
+    The dense (m, dim) form is for MODEL BUILDING over small labeled
+    corpora; scoring paths must stay sparse (the dense matrix moves
+    dim x 8 bytes per row through memory — measured as the quality
+    pipeline's bandwidth bottleneck at 30 workers)."""
+    m = len(texts)
+    out = np.zeros((m, dim), dtype=np.float32)
+    if m == 0:
+        return out
+    row_of, buckets = ngram_hash_rows(texts, n, dim, seed)
+    if len(row_of) == 0:
+        return out
     flat = np.bincount(row_of * dim + buckets, minlength=m * dim)
     out += flat.reshape(m, dim).astype(np.float32)
     return out

@@ -83,9 +83,19 @@ class DecodeImageStage:
                 stacked[j] = np.frombuffer(
                     data[i], dtype=np.uint8, count=h * w * 3, offset=9
                 ).reshape(h, w, 3)
-            f = stacked.reshape(k, -1).astype(np.float32)
-            bright[idxs] = f.mean(axis=1)
-            contrast[idxs] = f.std(axis=1)
+            # exact integer sums on the uint8 pixels (no float32
+            # expansion — that full-pixel float copy was ~4x the
+            # payload in memory traffic, the kernel's bandwidth cost
+            # at full parallelism); mean/std from the exact sums in
+            # float64: population std = sqrt(E[x^2] - E[x]^2)
+            flat = stacked.reshape(k, -1)
+            npix = flat.shape[1]
+            s1 = flat.sum(axis=1, dtype=np.int64).astype(np.float64)
+            s2 = np.einsum("ij,ij->i", flat, flat,
+                           dtype=np.int64).astype(np.float64)
+            mu = s1 / npix
+            bright[idxs] = mu
+            contrast[idxs] = np.sqrt(np.maximum(s2 / npix - mu * mu, 0.0))
             ys = (np.arange(8) * h // 8).clip(0, h - 1)
             xs = (np.arange(8) * w // 8).clip(0, w - 1)
             small = np.ascontiguousarray(

@@ -20,7 +20,7 @@ import pickle
 import numpy as np
 import pyarrow as pa
 
-from ..functions.text import ngram_count_matrix
+from ..functions.text import ngram_count_matrix, ngram_hash_rows
 
 DEFAULT_DIM = 4096
 DEFAULT_N = 3
@@ -110,27 +110,38 @@ class LangIdScorer:
         else:
             model = model_ref
         self.langs = np.asarray(model["langs"], dtype=object)
-        self.profiles = model["profiles"].astype(np.float32).T  # (D, L)
+        # (L, D) float64 rows: each language's profile is gathered by
+        # bucket id in the sparse scoring pass (row-contiguous gathers)
+        self.profiles = model["profiles"].astype(np.float64)
         self.dim = model["dim"]
         self.n = model["n"]
         self.text_col = text_col
         self.min_score = min_score
 
-    CHUNK = 2048   # caps the (chunk, dim) count-matrix allocation
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = np.asarray(batch[self.text_col].to_pylist(), dtype=object)
-        best = np.empty(len(texts), dtype=np.int64)
-        score = np.empty(len(texts), dtype=np.float64)
-        for s in range(0, len(texts), self.CHUNK):
-            chunk = texts[s : s + self.CHUNK]
-            counts = ngram_count_matrix(chunk, self.n, self.dim)
-            norms = np.linalg.norm(counts, axis=1, keepdims=True)
+        m = len(texts)
+        # SPARSE cosine: the dense (rows, dim) count matrix moved
+        # dim x 8 B per row through memory (the measured bandwidth
+        # bottleneck at full parallelism — BASELINE.md round 3); the
+        # per-(row, bucket) counts via sort/unique touch only the ~50
+        # n-gram occurrences a caption actually has.
+        row_of, buckets = ngram_hash_rows(texts, self.n, self.dim)
+        sims = np.zeros((m, len(self.langs)), dtype=np.float64)
+        if len(row_of):
+            key = row_of * self.dim + buckets
+            uniq, cnt = np.unique(key, return_counts=True)
+            rows = uniq // self.dim
+            bkt = uniq - rows * self.dim
+            cf = cnt.astype(np.float64)
+            norms = np.sqrt(np.bincount(rows, weights=cf * cf, minlength=m))
             norms[norms == 0] = 1.0
-            sims = (counts / norms) @ self.profiles      # (chunk, L)
-            b = sims.argmax(axis=1)
-            best[s : s + self.CHUNK] = b
-            score[s : s + self.CHUNK] = sims[np.arange(len(chunk)), b]
+            for li in range(len(self.langs)):
+                sims[:, li] = np.bincount(
+                    rows, weights=cf * self.profiles[li][bkt], minlength=m)
+            sims /= norms[:, None]
+        best = sims.argmax(axis=1)
+        score = sims[np.arange(m), best]
         lang = self.langs[best].astype(str)
         out = batch.append_column("lang_pred", pa.array(lang, type=pa.string()))
         out = out.append_column("lang_score", pa.array(score, type=pa.float64()))

@@ -92,7 +92,11 @@ def score_texts_batch(model: dict, texts) -> np.ndarray:
     idx = (np.arange(int(offs[-1]), dtype=np.int64)
            - np.repeat(offs[:-1], counts)
            + np.repeat(starts, counts))
-    p = (model["tri"][h3_all[idx]] + k) / (model["bi"][h2_all[idx]] + k * V)
+    # explicit float64 upcast after the gather: the tables may be held
+    # in (exactly-representable) float32 for cache footprint, and a
+    # float32 + python-float would otherwise stay float32
+    p = ((model["tri"][h3_all[idx]].astype(np.float64) + k)
+         / (model["bi"][h2_all[idx]].astype(np.float64) + k * V))
     logs = -np.log2(p)
     sums = np.add.reduceat(logs, offs[:-1])
     scores[np.asarray(keep, dtype=np.int64)] = sums / counts
@@ -109,7 +113,8 @@ def score_text(model: dict, text: str) -> float:
     h2 = _hash_grams(b, order - 1, dim)[: len(h3)]
     if len(h3) == 0:
         return float("inf")
-    p = (model["tri"][h3] + k) / (model["bi"][h2] + k * V)
+    p = ((model["tri"][h3].astype(np.float64) + k)
+         / (model["bi"][h2].astype(np.float64) + k * V))
     return float(-np.log2(p).mean())
 
 
@@ -125,7 +130,13 @@ class PerplexityScorer:
             model = ray.get(model_ref)
         else:
             model = model_ref
-        self.model = model
+        # count tables as float32: counts are small integers (< 2^24),
+        # exactly representable, so gather-then-upcast is BIT-IDENTICAL
+        # to float64 tables while halving the randomly-gathered cache
+        # footprint (the scorer's only non-sequential memory access)
+        self.model = dict(model)
+        self.model["tri"] = np.asarray(model["tri"], dtype=np.float32)
+        self.model["bi"] = np.asarray(model["bi"], dtype=np.float32)
         self.text_col = text_col
         self.max_ppl = max_ppl
 
