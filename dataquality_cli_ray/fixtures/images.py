@@ -229,7 +229,13 @@ def generate_images_parquet(
             rd.range(n_rows)
             .map_batches(GenImagesBatch(n_rows, seed), batch_format="pyarrow",
                          batch_size=2048)
-            .write_parquet(path)
+            # bounded file size: files are the read-task granularity
+            # once the quality pipeline's ReadParquet fuses with its
+            # kernel chain, so ~8k-row (~20 MB) files keep ~2-3 tasks
+            # per CPU in flight at bench scale instead of 50-100k-row
+            # files that quantize the run into a few coarse waves
+            .write_parquet(path, min_rows_per_file=8192,
+                           max_rows_per_file=8192)
         )
     else:
         t = gen_rows(np.arange(n_rows), n_rows, seed)

@@ -70,7 +70,7 @@ OUTPUT_COLS = [
 # uses the partitioned distributed reduce instead (mode="auto");
 # env-overridable for A/B tuning
 DUP_SHUFFLE_THRESHOLD_ROWS = int(
-    os.environ.get("DQRAY_DUP_SHUFFLE_THRESHOLD", 5_000_000))
+    os.environ.get("DQRAY_DUP_SHUFFLE_THRESHOLD", 1_000_000))
 
 # fan-out of the partitioned dup reduce: stage-A tasks each split their
 # combiner rows into this many hash partitions; stage-B runs one merge
@@ -78,21 +78,23 @@ DUP_SHUFFLE_THRESHOLD_ROWS = int(
 DUP_PARTITIONS = 32
 
 
-def _parquet_rows(path: str) -> int:
-    """Total rows from parquet footers (metadata only, no data read)."""
+def _parquet_rows(path: str) -> tuple[int, int]:
+    """(total rows, file count) from parquet footers (metadata only)."""
     import os
 
     import pyarrow.parquet as pq
 
-    total = 0
+    total = nfiles = 0
     if os.path.isdir(path):
         for root, _, files in os.walk(path):
             for f in files:
                 if f.endswith(".parquet"):
                     total += pq.read_metadata(os.path.join(root, f)).num_rows
+                    nfiles += 1
     else:
         total = pq.read_metadata(path).num_rows
-    return total
+        nfiles = 1
+    return total, nfiles
 
 
 def _ray_cpus() -> int:
@@ -313,11 +315,23 @@ def phash_dup_losers(proj_ds: "rd.Dataset", mode: str = "auto",
 
 @ray.remote(num_cpus=0)
 def _dup_prepass_task(input_path: str, key_col: str, id_col: str,
-                      approx_rows: int | None) -> dict:
+                      approx_rows: int | None,
+                      n_files: int | None = None) -> dict:
     """The dedup aggregation as a detached task so it streams
     CONCURRENTLY with the main scan (num_cpus=0: the inner Ray Data job
-    schedules its own tasks; this shell only drives it)."""
-    proj = rd.read_parquet(input_path, columns=[key_col, id_col])
+    schedules its own tasks; this shell only drives it).
+
+    The pruned read is PACKED into ~2 tasks/CPU: inputs written with
+    small bounded files (the fused-read layout) would otherwise spawn
+    one tiny per-file task whose open/footer overhead dominates a
+    two-column scan (measured 2.7 s packed vs 8.5 s per-file at 449
+    files / 3.2 M rows)."""
+    nb = max(2 * _ray_cpus(), 1)
+    if n_files:
+        nb = min(nb, n_files)   # never ask for more blocks than files:
+        #                         oversplitting adds a SplitBlocks op
+    proj = rd.read_parquet(input_path, columns=[key_col, id_col],
+                           override_num_blocks=nb)
     return phash_dup_losers(proj, mode="auto", approx_rows=approx_rows)
 
 
@@ -540,10 +554,24 @@ def quality_pipeline(
             concurrency=(1, 8), zero_copy_batch=True,
         )
     else:
+        # fusion barrier when the dup map may still be pending: with
+        # identical remote args Ray fuses read -> fused -> mark into ONE
+        # task chain, and every first-wave task would then block inside
+        # mark's ray.get(dup_ref) — idling the whole cluster until the
+        # pre-pass finishes. A differing num_cpus keeps mark a separate
+        # (cheap, bytes-free) operator that streams behind the heavy op.
+        # The concurrency cap is load-bearing: mark's inputs appear as
+        # fast as the heavy op emits them, and without the cap HUNDREDS
+        # of mark tasks launch and block in ray.get — each parked worker
+        # pins its input block in heap, and the resulting memory
+        # backpressure throttles the producer that the pre-pass needs to
+        # finish ahead of (measured: 38 s vs 26 s at 3.2 M rows).
+        mark_args = {"num_cpus": 0.5, "concurrency": 16} if (
+            dup_ref is not None and dup_map is None) else {}
         out = out.map_batches(
             _mark_finalize_task_fn, fn_kwargs={"dup_ref": dup_ref},
             batch_format="pyarrow", batch_size=batch_size,
-            zero_copy_batch=True,
+            zero_copy_batch=True, **mark_args,
         )
     if select_output:
         out = out.select_columns(OUTPUT_COLS)
@@ -568,26 +596,33 @@ def images_quality_pipeline(
     - "join": fully distributed — the dup decision stays a Dataset and
       marking is a hash-partitioned left join (no driver dup state).
 
-    override_num_blocks: with the default 128 MiB target block size a
-    medium input yields a handful of blocks, and blocks — not batches —
-    are the unit of task parallelism. ~4 blocks per CPU keeps every
-    worker fed (and on a real cluster, every node), while a ~6k-row
-    ceiling per block bounds per-worker transient memory (decode
-    buffers + the hashed-ngram count matrix) — oversized blocks
-    OOM-killed the raylet at millions of rows, and 12k+-row blocks
-    A/B-measured ~30 % slower than 6k in tasks mode (bigger transient
-    peaks, coarser load balancing)."""
+    Read strategy: NO ``override_num_blocks`` — forcing a block count
+    inserts a SplitBlocks op that both costs ~2.5x on the read itself
+    (measured: 7.0 s vs 2.9 s warm over 7.6 GB) and, critically,
+    prevents Ray from fusing ReadParquet with the kernel chain. Fused,
+    the encoded image bytes NEVER enter the object store: each read
+    task decodes parquet and runs rules/decode/langid/ppl/scrub in
+    place, emitting only the small label columns. Task granularity is
+    then per-FILE, so inputs should be written with bounded file sizes
+    (the fixture writes 8k-row files); ``target_max_block_size`` is
+    capped to bound per-task transient memory for larger files."""
     cfg = cfg or QualityConfig()
-    nrows = _parquet_rows(input_path)
-    nblocks = int(min(max(4 * _ray_cpus(), nrows // 6144 + 1), 4096))
-    ds = rd.read_parquet(input_path, override_num_blocks=nblocks)
+    # cap block size so a fused read task's in-flight decode buffers
+    # stay bounded even on inputs with huge row groups; 32 MiB of
+    # encoded rows ≈ 13k images. Set on the context (execution is lazy
+    # and reads the context at execution time, so set-and-leave).
+    ctx = rd.DataContext.get_current()
+    ctx.target_max_block_size = min(
+        ctx.target_max_block_size or (128 << 20), 32 << 20)
+    nrows, nfiles = _parquet_rows(input_path)
+    ds = rd.read_parquet(input_path)
     if dedup_mode == "join" and dup_map is None:
         proj = rd.read_parquet(input_path, columns=[cfg.dedup_key, cfg.id_col])
         return quality_pipeline(ds, None, cfg, decode=decode,
                                 dup_ds=dup_groups_dataset(proj), **kw)
     if dup_map is None:
         dup_ref = _dup_prepass_task.remote(input_path, cfg.dedup_key,
-                                           cfg.id_col, nrows)
+                                           cfg.id_col, nrows, nfiles)
         return quality_pipeline(ds, None, cfg, decode=decode,
                                 dup_ref=dup_ref, **kw)
     return quality_pipeline(ds, dup_map, cfg, decode=decode, **kw)
