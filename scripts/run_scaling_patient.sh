@@ -38,12 +38,20 @@ quiet() {  # true when co-tenant + residue use < QUIET_CPUS cores
 }
 
 cd /root/repo
+FLIP=0
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   if ! quiet; then sleep 10; continue; fi
-  for leg in 32 8; do
+  # alternate leg order between pair attempts: the co-tenant's burst
+  # cycle correlated with a fixed order (every 32-leg dirty, 8-leg
+  # clean in one campaign), which biases the pair's ratio
+  if [ "$FLIP" = 0 ]; then LEGS="32 8"; FLIP=1; else LEGS="8 32"; FLIP=0; fi
+  for leg in $LEGS; do
     ray stop --force >/dev/null 2>&1; sleep 2
     # re-gate each leg: the pair is only useful if both legs are clean
     for i in $(seq 60); do quiet && break; sleep 10; done
+    # warm the fixture's page cache so run 1 of a leg measures the
+    # pipeline, not cold /dev/vda reads
+    cat /tmp/dqray_fixtures/images_n${ROWS}_s42/*.parquet > /dev/null 2>&1
     L0=$(cut -d' ' -f1 /proc/loadavg)
     B0=$(busy_cpus)
     J=$(RAY_GRAFT_CPUS=$leg BENCH_HEADLINE_ONLY=1 \
