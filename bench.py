@@ -206,13 +206,28 @@ def run_scaling() -> dict:
     """
     # larger input for the scaling comparison: at 100k rows the job is
     # overhead-dominated and CPU count barely matters (12.5k rows/CPU at
-    # 32); 1.6M rows (~50k rows/CPU) makes compute the bottleneck so the
-    # 8-vs-32 ratio measures the pipeline, not startup
-    scaling_rows = os.environ.get("SCALING_ROWS", "1600000")
+    # 32); 6.4M rows (200k rows/CPU at 32) makes compute the bottleneck
+    # so the 8-vs-32 ratio measures the pipeline, not startup — the
+    # round-2 campaign protocol (BASELINE.md)
+    scaling_rows = os.environ.get("SCALING_ROWS", "6400000")
+    repeat = os.environ.get("BENCH_HEADLINE_REPEAT", "2")
+
+    def warm_page_cache():
+        # warm the fixture's page cache so run 1 measures the pipeline,
+        # not cold device reads (no-op until the first leg generates it)
+        import glob
+        from dataquality_cli_ray.fixtures.images import SEED
+        d = f"/tmp/dqray_fixtures/images_n{scaling_rows}_s{SEED}"
+        for f in glob.glob(f"{d}/*.parquet"):
+            with open(f, "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   BENCH_HEADLINE_ONLY="1", IMAGES_BENCH_ROWS=scaling_rows)
+                   BENCH_HEADLINE_ONLY="1", IMAGES_BENCH_ROWS=scaling_rows,
+                   BENCH_HEADLINE_REPEAT=repeat)
+        warm_page_cache()
         cmd = [sys.executable, os.path.abspath(__file__)]
         if os.path.exists("/usr/bin/taskset"):
             cmd = ["/usr/bin/taskset", "-c", f"0-{ncpu - 1}"] + cmd

@@ -14,9 +14,11 @@ Skew/scale notes:
 - LSH bucket sizes are capped (``max_bucket``); overflowing buckets are
   truncated deterministically with the drop LOGGED (no silent caps)
   rather than silently exploding O(n²) pair generation.
-- bucket counting is a combiner + ``groupby`` shuffle; only the
-  non-singleton keys (candidate duplicates) broadcast back — no
-  O(rows × bands) driver state anywhere on the dedup path.
+- bucket reduction is a two-stage hash-partitioned exchange over raw
+  Ray tasks (the ``_bucket_pair_exchange`` block comment): singleton
+  buckets drop for free inside each partition, pairs dedup in a second
+  tiny exchange — no global count pass, no broadcast, no O(rows ×
+  bands) driver state anywhere on the dedup path.
 """
 
 from __future__ import annotations
@@ -50,17 +52,6 @@ def _cached(key, factory):
 def _cached_ref(ref):
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
     return _cached(("ref", key), lambda: ray.get(ref))
-
-
-def _keep_keys_fn(batch: pa.Table, *, keys_ref, key_col: str) -> pa.Table:
-    keys = _cached_ref(keys_ref)
-    kk = batch[key_col].to_numpy(zero_copy_only=False)
-    if len(keys) == 0:
-        mask = np.zeros(len(batch), dtype=bool)
-    else:
-        idx = np.clip(np.searchsorted(keys, kk), 0, len(keys) - 1)
-        mask = keys[idx] == kk
-    return batch.filter(pa.array(mask))
 
 
 def _cap_bucket(g: pd.DataFrame, max_bucket: int, what: str) -> pd.DataFrame:
@@ -138,44 +129,125 @@ def exact_dedup_by_text(ds: "rd.Dataset", text_col: str, id_col: str) -> "rd.Dat
     return groups.select_columns(["winner"]).rename_columns({"winner": id_col})
 
 
-def _keep_nonsingleton_buckets(exploded: "rd.Dataset", key_col: str) -> "rd.Dataset":
-    """Drop rows whose bucket key appears exactly once — those buckets
-    can't produce pairs, and they are the vast majority (LSH buckets are
-    near-singleton by design). Without this, ``map_groups`` pays one
-    Python/pandas call per singleton group.
+# ------------------------------------------------- bucket-pair exchange
+#
+# LSH pair generation over exploded (bucket_key, id, payload) rows as a
+# two-stage hash-partitioned exchange over raw Ray tasks — the same
+# documented Dataset-first exception as ``quality._dup_losers_partitioned``
+# (``Dataset.groupby`` pays a sort-based shuffle on these tiny rows:
+# measured 11.5 s for the count pass + 7.5 s of per-group ``map_groups``
+# over 80 k exploded rows / 3.3 k buckets at sf0.1; the exchange does the
+# same reduction in well under a second and scales with CPUs).
+#
+# Stage A splits each exploded block by hash(bucket_key) % P, so stage B
+# (one task per partition) sees every row of each of its keys: singleton
+# buckets — the vast majority by design — are dropped locally for free
+# (a value_counts, no global count pass, no broadcast, no driver state),
+# full buckets feed the vectorized pair kernel, and a second tiny
+# exchange on hash(id_a) deduplicates pairs that surface from several
+# bands. Only (key, id, fixed-size sig) rows ever move.
 
-    Counting: per-batch combiner (one (key, cnt) row per key per batch)
-    → ``groupby(key).sum`` shuffle → filter cnt > 1. Only the surviving
-    non-singleton keys (≈ candidate duplicates, tiny by design) are
-    collected and broadcast as a sorted key array — no O(rows × bands)
-    driver state on the dedup path.
-    """
-    # the exploded projection is consumed twice (count + filter); pin it
-    # in the object store so signatures aren't recomputed — it holds only
-    # (key, id, sig), never the documents, and spills if large
-    exploded = exploded.materialize()
 
-    def cnt(batch: pa.Table) -> pa.Table:
-        g = batch.select([key_col]).group_by(key_col).aggregate([(key_col, "count")])
-        return g.rename_columns([key_col, "cnt"])
+def _key_partition_ids(arr: "pa.ChunkedArray | pa.Array", P: int) -> np.ndarray:
+    """Partition id per row: int64 keys are Fibonacci-mixed (uniform even
+    on structured key spaces); string ids hash through stable_hash64."""
+    if pa.types.is_integer(arr.type):
+        k = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        k = stable_hash64_array(arr.to_pylist()).view(np.uint64)
+    with np.errstate(over="ignore"):
+        mixed = k * np.uint64(0x9E3779B97F4A7C15)
+    return (mixed % np.uint64(P)).astype(np.int64)
 
-    hot = (
-        exploded.select_columns([key_col])
-        .map_batches(cnt, batch_format="pyarrow", batch_size=65536)
-        .groupby(key_col)
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .filter(expr="cnt > 1")
-    )
-    key_chunks = [b[key_col].to_numpy(zero_copy_only=False)
-                  for b in hot.iter_batches(batch_size=65536,
-                                            batch_format="pyarrow")]
-    keys = (np.sort(np.concatenate(key_chunks)) if key_chunks
-            else np.empty(0, dtype=np.int64))
-    keys_ref = ray.put(keys)
 
-    return exploded.map_batches(
-        _keep_keys_fn, fn_kwargs={"keys_ref": keys_ref, "key_col": key_col},
-        batch_format="pyarrow", batch_size=65536)
+@ray.remote
+def _exchange_split_task(P: int, key_col: str, *tables: pa.Table) -> list[pa.Table]:
+    t = pa.concat_tables(tables)
+    if t.num_rows == 0:
+        return [t] * P
+    part = _key_partition_ids(t[key_col], P)
+    return [t.filter(pa.array(part == i)) for i in range(P)]
+
+
+def _exchange(refs, key_col: str, P: int, merge_task, *merge_args) -> list:
+    """blocks → split by hash(key) → one merge task per partition.
+    Returns the merge tasks' ObjectRefs (one per partition)."""
+    group = 8   # ~1 split task per ~8 blocks (local pre-concat)
+    splits = [
+        _exchange_split_task.options(num_returns=P).remote(
+            P, key_col, *refs[i : i + group])
+        for i in range(0, len(refs), group)
+    ]
+    return [merge_task.remote(*merge_args, *[s[p] for s in splits])
+            for p in range(P)]
+
+
+def _nonsingleton_groups(df: pd.DataFrame, key_col: str):
+    """Iterate (key, group) over keys with ≥ 2 rows — vectorized
+    singleton drop, then a pandas groupby over the small remainder."""
+    vc = df[key_col].value_counts()
+    hot = vc.index[vc.to_numpy() > 1]
+    if len(hot) == 0:
+        return
+    sub = df[df[key_col].isin(hot)]
+    yield from sub.groupby(key_col, sort=False)
+
+
+def _pairs_to_table(frames: list[pd.DataFrame], id_type: pa.DataType,
+                    val_col: str, val_type: pa.DataType) -> pa.Table:
+    """Concat per-bucket pair frames into one typed Arrow table (typed
+    even when empty, so downstream concat/schema checks hold)."""
+    if frames:
+        df = pd.concat(frames, ignore_index=True)
+    else:
+        df = pd.DataFrame({"id_a": [], "id_b": [], val_col: []})
+    return pa.table({
+        "id_a": pa.array(df["id_a"], type=id_type),
+        "id_b": pa.array(df["id_b"], type=id_type),
+        val_col: pa.array(df[val_col], type=val_type),
+    })
+
+
+def _pair_dedup_local(val_col: str, how: str, *parts: pa.Table) -> pa.Table:
+    """groupby (id_a, id_b), keep max est (minhash) / min hamming
+    (simhash) — pairs from several bands collapse to one row."""
+    t = pa.concat_tables(parts)
+    if t.num_rows == 0:
+        return t
+    df = t.to_pandas()
+    agg = getattr(df.groupby(["id_a", "id_b"], sort=False)[val_col], how)()
+    out = agg.reset_index()
+    return pa.table({
+        "id_a": pa.array(out["id_a"], type=t.schema.field("id_a").type),
+        "id_b": pa.array(out["id_b"], type=t.schema.field("id_b").type),
+        val_col: pa.array(out[val_col], type=t.schema.field(val_col).type),
+    })
+
+
+_pair_dedup_task = ray.remote(_pair_dedup_local)
+
+
+def _bucket_pair_exchange(exploded: "rd.Dataset", key_col: str,
+                          partition_merge, merge_args: tuple,
+                          val_col: str, how: str) -> "rd.Dataset":
+    """Run the full explode → bucket-pairs → pair-dedup reduction; see
+    the block comment above. ``partition_merge`` is the per-partition
+    remote task producing a (id_a, id_b, val_col) pair table."""
+    refs = exploded.to_arrow_refs()
+    if not refs:
+        id_type = exploded.schema().field("doc_id").type
+        val_type = pa.float64() if how == "max" else pa.int64()
+        return rd.from_arrow(_pairs_to_table([], id_type, val_col, val_type))
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    P = max(2, min(32, cpus))
+    pair_refs = _exchange(refs, key_col, P, partition_merge, *merge_args)
+    # pairs ≪ exploded rows: a narrower second exchange is plenty
+    P2 = max(2, min(8, cpus))
+    deduped = _exchange(pair_refs, "id_a", P2, _pair_dedup_task, val_col, how)
+    return rd.from_arrow_refs(deduped)
 
 
 def semi_join_filter(
@@ -281,13 +353,31 @@ def _bucket_pairs(g: pd.DataFrame, threshold: float, max_bucket: int) -> pd.Data
     return pd.DataFrame({"id_a": ia, "id_b": ib, "est_jaccard": est})
 
 
+@ray.remote
+def _minhash_partition_task(threshold: float, max_bucket: int,
+                            *parts: pa.Table) -> pa.Table:
+    """One exchange partition: drop singleton buckets (free — all rows
+    of each key are here), run the pair kernel per surviving bucket,
+    dedup pairs across this partition's bands."""
+    t = pa.concat_tables(parts)
+    id_type = t.schema.field("doc_id").type
+    frames = []
+    if t.num_rows:
+        df = t.to_pandas()
+        for _, g in _nonsingleton_groups(df, "band_key"):
+            frames.append(_bucket_pairs(g, threshold, max_bucket))
+    out = _pairs_to_table(frames, id_type, "est_jaccard", pa.float64())
+    return _pair_dedup_local("est_jaccard", "max", out)
+
+
 def minhash_lsh_pairs(
     ds: "rd.Dataset", text_col: str, id_col: str,
     threshold: float = 0.7, num_perm: int = 128, bands: int = 16,
     shingle_k: int = 5, max_bucket: int = 200,
 ) -> "rd.Dataset":
     """Candidate near-dup pairs (id_a < id_b, est_jaccard ≥ threshold),
-    deduplicated across bands. Shuffles only (band_key, id, 1KB sig)."""
+    deduplicated across bands. Shuffles only (band_key, id, 1KB sig)
+    through the bucket-pair exchange (see block comment above)."""
     def explode(batch: pa.Table) -> pa.Table:
         stage = _cached(("minhash", text_col, id_col, num_perm, bands,
                          shingle_k),
@@ -295,19 +385,14 @@ def minhash_lsh_pairs(
                                              bands, shingle_k))
         return stage(batch)
 
+    # batch_size sets task granularity on few-block inputs: ~0.5 s of
+    # signature work per task keeps small corpora parallel
     exploded = ds.select_columns([text_col, id_col]).map_batches(
-        explode, batch_format="pyarrow", batch_size=4096,
+        explode, batch_format="pyarrow", batch_size=512,
     )
-    exploded = _keep_nonsingleton_buckets(exploded, "band_key")
-    pairs = exploded.groupby("band_key").map_groups(
-        lambda g: _bucket_pairs(g, threshold, max_bucket),
-        batch_format="pandas",
-    )
-    # a pair can surface from several bands → keep max estimate per pair
-    from ray.data.aggregate import Max
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard")
-    )
+    return _bucket_pair_exchange(
+        exploded, "band_key", _minhash_partition_task,
+        (threshold, max_bucket), "est_jaccard", "max")
 
 
 def verify_pairs_exact_jaccard(
@@ -388,27 +473,45 @@ class SimHashStage:
         })
 
 
+def _simhash_bucket_pairs(g: pd.DataFrame, max_hamming: int,
+                          max_bucket: int) -> pd.DataFrame:
+    """All-pairs Hamming check within one blocking bucket."""
+    g = _cap_bucket(g.drop_duplicates("doc_id").sort_values("doc_id"),
+                    max_bucket, "simhash")
+    n = len(g)
+    if n < 2:
+        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    hs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+    ids = g["doc_id"].to_numpy()
+    ia, ib, hm = [], [], []
+    for i in range(n - 1):
+        d = hamming64(hs[i + 1 :], hs[i])
+        hit = np.nonzero(d <= max_hamming)[0]
+        for j in hit:
+            ia.append(ids[i]); ib.append(ids[i + 1 + j]); hm.append(int(d[j]))
+    return pd.DataFrame({"id_a": ia, "id_b": ib, "hamming": hm})
+
+
+@ray.remote
+def _simhash_partition_task(max_hamming: int, max_bucket: int,
+                            *parts: pa.Table) -> pa.Table:
+    t = pa.concat_tables(parts)
+    id_type = t.schema.field("doc_id").type
+    frames = []
+    if t.num_rows:
+        df = t.to_pandas()
+        for _, g in _nonsingleton_groups(df, "block_key"):
+            frames.append(_simhash_bucket_pairs(g, max_hamming, max_bucket))
+    out = _pairs_to_table(frames, id_type, "hamming", pa.int64())
+    return _pair_dedup_local("hamming", "min", out)
+
+
 def simhash_pairs(
     ds: "rd.Dataset", text_col: str, id_col: str,
     max_hamming: int = 3, shingle_k: int = 5, max_bucket: int = 500,
 ) -> "rd.Dataset":
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming."""
-
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = _cap_bucket(g.drop_duplicates("doc_id").sort_values("doc_id"),
-                        max_bucket, "simhash")
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        hs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        ids = g["doc_id"].to_numpy()
-        ia, ib, hm = [], [], []
-        for i in range(n - 1):
-            d = hamming64(hs[i + 1 :], hs[i])
-            hit = np.nonzero(d <= max_hamming)[0]
-            for j in hit:
-                ia.append(ids[i]); ib.append(ids[i + 1 + j]); hm.append(int(d[j]))
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "hamming": hm})
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, via the
+    bucket-pair exchange (see block comment above)."""
 
     def explode(batch: pa.Table) -> pa.Table:
         stage = _cached(("simhash", text_col, id_col, shingle_k),
@@ -416,14 +519,11 @@ def simhash_pairs(
         return stage(batch)
 
     exploded = ds.select_columns([text_col, id_col]).map_batches(
-        explode, batch_format="pyarrow", batch_size=4096,
+        explode, batch_format="pyarrow", batch_size=512,
     )
-    exploded = _keep_nonsingleton_buckets(exploded, "block_key")
-    pairs = exploded.groupby("block_key").map_groups(bucket, batch_format="pandas")
-    from ray.data.aggregate import Min as AggMin
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        AggMin("hamming", alias_name="hamming")
-    )
+    return _bucket_pair_exchange(
+        exploded, "block_key", _simhash_partition_task,
+        (max_hamming, max_bucket), "hamming", "min")
 
 
 # ---------------------------------------------------- embedding cosine
