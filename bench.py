@@ -86,10 +86,11 @@ def run_benchmarks() -> dict:
     # pipeline with foreign load; the minimum is the uncontended
     # steady-state estimate (run 1 also absorbs residual cold-start).
     repeat = int(os.environ.get("BENCH_HEADLINE_REPEAT", "2"))
+    dedup_mode = os.environ.get("IMAGES_DEDUP_MODE", "staged")
     runs = []
     for _ in range(repeat):
         t0 = time.time()
-        out = images_quality_pipeline(img_path, cfg,
+        out = images_quality_pipeline(img_path, cfg, dedup_mode=dedup_mode,
                                       langid_model=langid_model,
                                       ppl_model=ppl_model)
         n_out = out.count()

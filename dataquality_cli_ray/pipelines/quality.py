@@ -55,6 +55,7 @@ import ray.data as rd
 from ray.data.aggregate import Min, Sum
 
 from ..fixtures.images import seed_corpus
+from ..sources.readers import read_parquet_fast
 from ..stages.image_stages import DecodeImageStage
 from ..stages.langid import LangIdScorer, train_langid_model
 from ..stages.perplexity import PerplexityScorer, train_char_lm
@@ -330,7 +331,7 @@ def _dup_prepass_task(input_path: str, key_col: str, id_col: str,
     if n_files:
         nb = min(nb, n_files)   # never ask for more blocks than files:
         #                         oversplitting adds a SplitBlocks op
-    proj = rd.read_parquet(input_path, columns=[key_col, id_col],
+    proj = read_parquet_fast(input_path, columns=[key_col, id_col],
                            override_num_blocks=nb)
     return phash_dup_losers(proj, mode="auto", approx_rows=approx_rows)
 
@@ -420,9 +421,11 @@ def _fused_task_fn(batch: pa.Table, *, cfg, langid_ref, ppl_ref,
     return stage(batch)
 
 
-def _mark_finalize_task_fn(batch: pa.Table, *, dup_ref) -> pa.Table:
+def _mark_finalize_task_fn(batch: pa.Table, *, dup_ref,
+                           select_cols=None) -> pa.Table:
     if dup_ref is None:
-        return finalize_decision(batch)
+        out = finalize_decision(batch)
+        return out.select(select_cols) if select_cols else out
     key = dup_ref.hex() if hasattr(dup_ref, "hex") else id(dup_ref)
     lookup = _DUP_CACHE.get(key)
     if lookup is None:
@@ -432,7 +435,11 @@ def _mark_finalize_task_fn(batch: pa.Table, *, dup_ref) -> pa.Table:
         lookup = _dup_lookup(dup)
         _DUP_CACHE.clear()
         _DUP_CACHE[key] = lookup
-    return finalize_decision(_mark_dup(batch, *lookup))
+    out = finalize_decision(_mark_dup(batch, *lookup))
+    # column selection folded in: a trailing select_columns would be a
+    # THIRD operator, and every operator dilutes the fused op's share
+    # under the executor's per-op resource reservation
+    return out.select(select_cols) if select_cols else out
 
 
 class _MarkFinalizeStage:
@@ -560,19 +567,26 @@ def quality_pipeline(
         # mark's ray.get(dup_ref) — idling the whole cluster until the
         # pre-pass finishes. A differing num_cpus keeps mark a separate
         # (cheap, bytes-free) operator that streams behind the heavy op.
-        # The concurrency cap is load-bearing: mark's inputs appear as
-        # fast as the heavy op emits them, and without the cap HUNDREDS
-        # of mark tasks launch and block in ray.get — each parked worker
-        # pins its input block in heap, and the resulting memory
-        # backpressure throttles the producer that the pre-pass needs to
-        # finish ahead of (measured: 38 s vs 26 s at 3.2 M rows).
-        mark_args = {"num_cpus": 0.5, "concurrency": 16} if (
+        # Both knobs are load-bearing:
+        # - concurrency cap: without it HUNDREDS of mark tasks launch
+        #   and park in ray.get — each parked worker pins its input
+        #   block, and the memory backpressure throttles the producer
+        #   the pre-pass needs to finish ahead of (38 s vs 26 s, 3.2 M).
+        # - num_cpus=0: any positive value RESERVES slots for the
+        #   (parked or 35 ms-cheap) mark tasks for the whole run — at
+        #   0.5 × 16 the fused op was capped at 24/32 CPUs end-to-end,
+        #   measured ~22 busy and 39 s vs 29 busy and 25 s at 6.4 M.
+        #   Zero-cpu tasks oversubscribe by at most the cap × 35 ms.
+        mark_args = {"num_cpus": 0, "concurrency": 16} if (
             dup_ref is not None and dup_map is None) else {}
         out = out.map_batches(
-            _mark_finalize_task_fn, fn_kwargs={"dup_ref": dup_ref},
+            _mark_finalize_task_fn,
+            fn_kwargs={"dup_ref": dup_ref,
+                       "select_cols": OUTPUT_COLS if select_output else None},
             batch_format="pyarrow", batch_size=batch_size,
             zero_copy_batch=True, **mark_args,
         )
+        return out
     if select_output:
         out = out.select_columns(OUTPUT_COLS)
     return out
@@ -583,16 +597,26 @@ def images_quality_pipeline(
     cfg: QualityConfig | None = None,
     decode: bool = True,
     dup_map: dict[int, str] | None = None,
-    dedup_mode: str = "broadcast",
+    dedup_mode: str = "staged",
     **kw,
 ) -> "rd.Dataset":
     """End-to-end over a parquet images table.
 
     dedup_mode:
-    - "broadcast" (default): the dedup aggregation runs as a DETACHED
-      task over a (phash, image_id)-pruned scan, concurrently with the
-      main pass; the loser map arrives at the final mark stage as an
-      ObjectRef. Two scans of a columnar source beat shuffling bytes.
+    - "staged" (default): the dedup aggregation runs FIRST at full
+      cluster width (a few seconds — it scans only (phash, image_id));
+      the main pass then gets the resolved loser map and Ray fuses
+      read → kernels → mark(+select) into ONE operator at full
+      parallelism. A single-op plan sidesteps the streaming executor's
+      per-operator resource reservation, which caps a producer op at
+      ~2/3 of the cluster whenever a downstream operator exists
+      (measured 21.6 vs 29 busy CPUs of 32; see BASELINE.md).
+    - "broadcast": the dedup aggregation runs as a DETACHED task over
+      the pruned scan, CONCURRENTLY with the main pass; the loser map
+      arrives at the final mark stage as an ObjectRef. Overlaps the
+      pre-pass but splits the plan into two operators (reservation cap
+      above) — keeps the cluster fed during the pre-pass window at the
+      price of a slower steady state.
     - "join": fully distributed — the dup decision stays a Dataset and
       marking is a hash-partitioned left join (no driver dup state).
 
@@ -615,16 +639,21 @@ def images_quality_pipeline(
     ctx.target_max_block_size = min(
         ctx.target_max_block_size or (128 << 20), 32 << 20)
     nrows, nfiles = _parquet_rows(input_path)
-    ds = rd.read_parquet(input_path)
+    ds = read_parquet_fast(input_path)
     if dedup_mode == "join" and dup_map is None:
-        proj = rd.read_parquet(input_path, columns=[cfg.dedup_key, cfg.id_col])
+        proj = read_parquet_fast(input_path, columns=[cfg.dedup_key, cfg.id_col])
         return quality_pipeline(ds, None, cfg, decode=decode,
                                 dup_ds=dup_groups_dataset(proj), **kw)
     if dup_map is None:
         dup_ref = _dup_prepass_task.remote(input_path, cfg.dedup_key,
                                            cfg.id_col, nrows, nfiles)
-        return quality_pipeline(ds, None, cfg, decode=decode,
-                                dup_ref=dup_ref, **kw)
+        if dedup_mode == "staged":
+            dup_map = ray.get(dup_ref)      # full cluster, a few seconds
+            if isinstance(dup_map, ray.ObjectRef):
+                dup_map = ray.get(dup_map)
+        else:
+            return quality_pipeline(ds, None, cfg, decode=decode,
+                                    dup_ref=dup_ref, **kw)
     return quality_pipeline(ds, dup_map, cfg, decode=decode, **kw)
 
 

@@ -124,4 +124,53 @@ def read_table(path: str, columns: list[str] | None = None, **kw) -> "rd.Dataset
             return rd.read_lance(path, columns=columns, **kw)
     except ImportError:
         pass
+    return read_parquet_fast(path, columns=columns, **kw)
+
+
+class _LocalFooterMetadataProvider:
+    """Parquet metadata provider that reads footers serially IN-PROCESS.
+
+    Ray's default provider fan-outs footer fetches as ~6-fragment Ray
+    tasks — right for object storage, but on a LOCAL filesystem the
+    dispatch latency dominates: measured 10–16 s of read_parquet()
+    planning for an 832-file input whose footers pyarrow reads serially
+    in 0.4 s. Every pipeline over a many-file local table paid that
+    twice (main read + the dedup pre-pass's pruned read).
+
+    Defined lazily (class body at call time) because the base class
+    lives in a DeveloperAPI module.
+    """
+
+    _cls = None
+
+    @classmethod
+    def get(cls):
+        if cls._cls is None:
+            from ray.data.datasource.parquet_meta_provider import (
+                ParquetMetadataProvider,
+                _fetch_metadata,
+            )
+
+            class LocalFooterMetadataProvider(ParquetMetadataProvider):
+                def prefetch_file_metadata(self, fragments, **ray_remote_args):
+                    return _fetch_metadata(fragments)
+
+            cls._cls = LocalFooterMetadataProvider
+        return cls._cls
+
+
+def _is_local_path(path) -> bool:
+    p = str(path)
+    return "://" not in p or p.startswith("file://") or p.startswith("local://")
+
+
+def read_parquet_fast(path, columns: list[str] | None = None,
+                      **kw) -> "rd.Dataset":
+    """``rd.read_parquet`` with in-process footer prefetch on local
+    paths (see ``_LocalFooterMetadataProvider``); identical to the
+    stock reader for object-store URIs, where the remote-task fan-out
+    is the right call."""
+    paths = path if isinstance(path, (list, tuple)) else [path]
+    if "meta_provider" not in kw and all(_is_local_path(p) for p in paths):
+        kw["meta_provider"] = _LocalFooterMetadataProvider.get()()
     return rd.read_parquet(path, columns=columns, **kw)

@@ -46,11 +46,13 @@ def main() -> None:
     t0 = time.time()
     out = images_quality_pipeline(path, cfg, langid_model=langid,
                                   ppl_model=ppl)
-    n = out.count()
+    # materialize (not count) so the executed plan's stats are readable
+    mat = out.materialize()
+    n = mat.count()
     wall = time.time() - t0
     print(f"== wall {wall:.2f} s  rows {n}  ncpu {NCPU} "
           f"({n / wall:.0f} img/s, {wall * NCPU / n * 1e6:.1f} us*cpu/row)")
-    print(out.stats())
+    print(mat.stats())
     ray.shutdown()
 
 
