@@ -32,6 +32,9 @@ cd /root/repo
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   for spec in $VARIANTS; do
     mode=${spec%%:*}; leg=${spec##*:}
+    # gate BEFORE ray stop: stopping first would kill an interactive
+    # session the operator is running behind /tmp/graft_busy
+    while ! quiet; do sleep 10; done
     ray stop --force >/dev/null 2>&1; sleep 2
     for i in $(seq 60); do quiet && break; sleep 10; done
     cat /tmp/dqray_fixtures/images_n${ROWS}_s42/*.parquet > /dev/null 2>&1
