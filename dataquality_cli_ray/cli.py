@@ -131,6 +131,7 @@ def cmd_quality(args) -> int:
     import ray.data as rd
 
     from .pipelines.quality import build_models, quality_pipeline, phash_dup_losers
+    from .sources.readers import read_parquet_fast
     from .state.checkpoint import drop_reason_lineage, run_resumable
     from .stages.rules import QualityConfig
 
@@ -149,11 +150,11 @@ def cmd_quality(args) -> int:
 
     nrows = sum(pq.read_metadata(f).num_rows for f in files)
     dup_map = phash_dup_losers(
-        rd.read_parquet(files, columns=[cfg.dedup_key, cfg.id_col]),
+        read_parquet_fast(files, columns=[cfg.dedup_key, cfg.id_col]),
         mode=args.dedup_mode, approx_rows=nrows)
 
     def pipeline(shard_files):
-        return quality_pipeline(rd.read_parquet(shard_files), dup_map, cfg,
+        return quality_pipeline(read_parquet_fast(shard_files), dup_map, cfg,
                                 langid_model=langid_model,
                                 ppl_model=ppl_model)
 
