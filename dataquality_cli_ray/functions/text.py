@@ -107,49 +107,85 @@ def char_ngrams(text: str, n: int = 3) -> list[str]:
 
 
 def ngram_hash_rows(
-    texts: np.ndarray, n: int, dim: int, seed: int = 0
+    texts, n: int, dim: int, seed: int = 0
 ) -> tuple[np.ndarray, np.ndarray]:
     """All hashed char-n-gram occurrences of a batch as two parallel
-    int64 arrays ``(row_of, buckets)`` — the SPARSE form of the count
-    matrix (one entry per n-gram occurrence, not per (row, bucket)
-    cell). Uses a fixed polynomial rolling hash so results are
-    deterministic across processes (no PYTHONHASHSEED dependence).
+    arrays ``(row_of, buckets)`` — the SPARSE form of the count matrix
+    (one entry per n-gram occurrence, not per (row, bucket) cell). Uses
+    a fixed polynomial rolling hash so results are deterministic across
+    processes (no PYTHONHASHSEED dependence).
 
-    Batched: all texts are concatenated and hashed in ONE rolling-hash
-    pass (n vector ops total); windows crossing text boundaries are
-    dropped by a vectorized gather. Texts that are None or shorter than
-    ``n`` after padding contribute no entries."""
-    if len(texts) == 0:
+    ``texts`` may be a ``pa.Array``/``pa.ChunkedArray`` (fast path: the
+    hash runs directly over the Arrow UTF-8 data buffer in uint16 —
+    bucket-identical to uint64 arithmetic because ``dim`` divides 2^16,
+    so ``% dim`` / ``^ seed`` depend only on the low bits; no Python
+    string objects are materialized) or a numpy object array (legacy
+    path). Null/None texts and texts shorter than ``n`` after " t "
+    padding contribute no entries. Both paths produce bit-identical
+    (row_of, buckets) — lowering happens in Arrow for both — pinned by
+    ``test_ngram_hash_rows_arrow_matches_object_path``. Note: Arrow's
+    ``utf8_lower`` uses simple case mapping (U+0130 'İ' -> 'i', final
+    sigma stays 'σ') where Python's str.lower is context-sensitive; all
+    engine paths (training and scoring) share THIS function, so bucket
+    assignment is always self-consistent."""
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        # object input still benefits from the buffer kernel: one Arrow
+        # conversion, then the shared vectorized path (lowering happens
+        # in Arrow for BOTH paths so results cannot diverge on edge-case
+        # Unicode case mappings)
+        if len(texts) == 0:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        texts = pa.array([None if t is None else str(t) for t in texts],
+                         type=pa.string())
+    fast_dim = dim > 0 and (dim & (dim - 1)) == 0 and dim <= 65536
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    m = len(texts)
+    if m == 0:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
-    bs, keep = [], []
-    for i, t in enumerate(texts):
-        if t is None:
-            continue
-        b = f" {str(t).lower()} ".encode("utf-8", "ignore")
-        if len(b) < n:
-            continue
-        bs.append(b)
-        keep.append(i)
-    if not bs:
+    # " t ".lower() padding in two vectorized Arrow passes
+    lowered = pc.utf8_lower(texts)
+    padded = pc.binary_join_element_wise(
+        pa.scalar(""), lowered, pa.scalar(""), pa.scalar(" "))
+    padded = padded.fill_null("")
+    if isinstance(padded, pa.ChunkedArray):
+        padded = padded.combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_string(padded.type) else np.int32
+    bufs = padded.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        padded.offset: padded.offset + m + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, dtype=np.uint8)
+    if offs[-1] - offs[0] < n:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
-    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
-    arr = np.frombuffer(b"".join(bs), dtype=np.uint8).astype(np.uint64)
-    nw = len(arr) - n + 1
-    with np.errstate(over="ignore"):
-        h = np.zeros(nw, dtype=np.uint64)
-        for j in range(n):
-            h = h * np.uint64(1000003) + arr[j : nw + j]
-    counts_per = lens - n + 1
-    starts = np.zeros(len(bs), dtype=np.int64)
-    np.cumsum(lens[:-1], out=starts[1:])
-    offs = np.zeros(len(bs) + 1, dtype=np.int64)
-    np.cumsum(counts_per, out=offs[1:])
-    total = int(offs[-1])
+    nw = int(offs[-1]) - n + 1
+    if fast_dim:
+        P = np.uint16(1000003 & 0xFFFF)
+        with np.errstate(over="ignore"):
+            h = data[:nw].astype(np.uint16)
+            for j in range(1, n):
+                h = h * P + data[j: nw + j]
+    else:                              # rare: dim not a power of two
+        P64 = np.uint64(1000003)
+        with np.errstate(over="ignore"):
+            h = data[:nw].astype(np.uint64)
+            for j in range(1, n):
+                h = h * P64 + data[j: nw + j]
+    lens = offs[1:] - offs[:-1]
+    counts_per = np.maximum(lens - n + 1, 0)
+    co = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(counts_per, out=co[1:])
+    total = int(co[-1])
     idx = (np.arange(total, dtype=np.int64)
-           - np.repeat(offs[:-1], counts_per)
-           + np.repeat(starts, counts_per))
-    buckets = ((h[idx] ^ np.uint64(seed)) % np.uint64(dim)).astype(np.int64)
-    row_of = np.repeat(np.asarray(keep, dtype=np.int64), counts_per)
+           - np.repeat(co[:-1], counts_per)
+           + np.repeat(offs[:-1], counts_per))
+    if fast_dim:
+        buckets = ((h[idx] ^ np.uint16(seed & 0xFFFF))
+                   & np.uint16(dim - 1)).astype(np.int64)
+    else:
+        buckets = ((h[idx] ^ np.uint64(seed))
+                   % np.uint64(dim)).astype(np.int64)
+    row_of = np.repeat(np.arange(m, dtype=np.int64), counts_per)
     return row_of, buckets
 
 

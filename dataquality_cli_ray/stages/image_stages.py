@@ -44,52 +44,91 @@ class DecodeImageStage:
         self.validate_meta = validate_meta
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import struct
-
-        data = batch[self.bytes_col].to_pylist()
-        w_meta = batch["w"].to_pylist() if "w" in batch.column_names else [None] * len(data)
-        h_meta = batch["h"].to_pylist() if "h" in batch.column_names else [None] * len(data)
-        n = len(data)
+        col = batch[self.bytes_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
         err = np.full(n, None, dtype=object)
         dec_w = np.zeros(n, dtype=np.int32)
         dec_h = np.zeros(n, dtype=np.int32)
         bright = np.zeros(n, dtype=np.float64)
         contrast = np.zeros(n, dtype=np.float64)
         ahash = np.zeros(n, dtype=np.int64)
-        groups: dict[tuple[int, int], list[int]] = {}
-        for i, blob in enumerate(data):
-            if blob is None or len(blob) < 9 or blob[:4] != IF.MAGIC:
-                err[i] = "bad magic"
-                continue
-            code, w, h = struct.unpack("<BHH", blob[4:9])
-            if code not in IF.CODE_FMTS:
-                err[i] = f"unknown fmt code {code}"
-                continue
+        # header parse + validation fully vectorized over the Arrow
+        # binary buffer — the previous to_pylist() materialized every
+        # payload as a Python bytes object (an extra 2.5 KB/row copy +
+        # allocator churn; this stage is the pipeline's largest
+        # bandwidth consumer at full worker width, BASELINE.md).
+        off_dt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+        bufs = col.buffers()
+        offs = np.frombuffer(bufs[1], dtype=off_dt)[
+            col.offset: col.offset + n + 1].astype(np.int64) if n else \
+            np.zeros(1, dtype=np.int64)
+        data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+            else np.empty(0, dtype=np.uint8)
+        start, lens = offs[:-1], offs[1:] - offs[:-1]
+        notnull = np.ones(n, dtype=bool) if col.null_count == 0 else \
+            np.asarray(col.is_valid())
+        okhdr = notnull & (lens >= 9)
+        err[np.flatnonzero(~okhdr)] = "bad magic"
+        io = np.flatnonzero(okhdr)
+        good = np.empty(0, dtype=np.int64)
+        w_of = h_of = None
+        if len(io):
+            hdr = data[start[io][:, None] + np.arange(9)]
+            magic = np.frombuffer(IF.MAGIC, dtype=np.uint8)
+            m_ok = (hdr[:, :4] == magic).all(axis=1)
+            err[io[~m_ok]] = "bad magic"
+            code = hdr[:, 4].astype(np.int64)
+            w = hdr[:, 5].astype(np.int64) | (hdr[:, 6].astype(np.int64) << 8)
+            h = hdr[:, 7].astype(np.int64) | (hdr[:, 8].astype(np.int64) << 8)
+            code_valid = np.zeros(256, dtype=bool)
+            code_valid[list(IF.CODE_FMTS)] = True
+            c_ok = code_valid[code]
+            for j in np.flatnonzero(m_ok & ~c_ok):
+                err[io[j]] = f"unknown fmt code {code[j]}"
             expected = 9 + w * h * 3
-            if len(blob) != expected:
-                err[i] = f"payload size {len(blob)} != {expected}"
-                continue
-            dec_w[i], dec_h[i] = w, h
-            if self.validate_meta and w_meta[i] is not None and (
-                w != w_meta[i] or h != h_meta[i]
-            ):
-                err[i] = f"meta {w_meta[i]}x{h_meta[i]} != decoded {w}x{h}"
-                continue
-            groups.setdefault((h, w), []).append(i)
-        for (h, w), idxs in groups.items():
+            s_ok = lens[io] == expected
+            for j in np.flatnonzero(m_ok & c_ok & ~s_ok):
+                err[io[j]] = f"payload size {lens[io[j]]} != {expected[j]}"
+            parsed = m_ok & c_ok & s_ok
+            dec_w[io[parsed]] = w[parsed]
+            dec_h[io[parsed]] = h[parsed]
+            meta_ok = np.ones(len(io), dtype=bool)
+            if self.validate_meta and "w" in batch.column_names:
+                wc, hc = batch["w"], batch["h"]
+                have = np.asarray(
+                    pa.compute.and_(wc.is_valid(), hc.is_valid()),
+                    dtype=bool)
+                wm = np.asarray(wc.cast(pa.int64()).fill_null(-1))
+                hm = np.asarray(hc.cast(pa.int64()).fill_null(-1))
+                mism = have[io] & ((w != wm[io]) | (h != hm[io]))
+                for j in np.flatnonzero(parsed & mism):
+                    err[io[j]] = (f"meta {wm[io[j]]}x{hm[io[j]]} "
+                                  f"!= decoded {w[j]}x{h[j]}")
+                meta_ok = ~mism
+            gsel = parsed & meta_ok
+            good = io[gsel]
+            w_of, h_of = w[gsel], h[gsel]
+        # group same-shape images; per-group pixel kernels amortize the
+        # numpy call overhead (values identical to per-image form)
+        shape_keys = (h_of * 65536 + w_of) if len(good) else \
+            np.empty(0, dtype=np.int64)
+        for key in np.unique(shape_keys):
+            sel = shape_keys == key
+            idxs = good[sel]
+            h, w = int(key >> 16), int(key & 0xFFFF)
             k = len(idxs)
-            stacked = np.empty((k, h, w, 3), dtype=np.uint8)
-            for j, i in enumerate(idxs):
-                stacked[j] = np.frombuffer(
-                    data[i], dtype=np.uint8, count=h * w * 3, offset=9
-                ).reshape(h, w, 3)
+            hw3 = h * w * 3
+            # ONE fancy-index gather pulls every payload straight out of
+            # the Arrow data buffer (no per-row frombuffer/copy loop)
+            flat = data[(start[idxs] + 9)[:, None] + np.arange(hw3)]
             # exact integer sums on the uint8 pixels (no float32
             # expansion — that full-pixel float copy was ~4x the
             # payload in memory traffic, the kernel's bandwidth cost
             # at full parallelism); mean/std from the exact sums in
             # float64: population std = sqrt(E[x^2] - E[x]^2)
-            flat = stacked.reshape(k, -1)
-            npix = flat.shape[1]
+            npix = hw3
             s1 = flat.sum(axis=1, dtype=np.int64).astype(np.float64)
             s2 = np.einsum("ij,ij->i", flat, flat,
                            dtype=np.int64).astype(np.float64)
@@ -98,16 +137,19 @@ class DecodeImageStage:
             contrast[idxs] = np.sqrt(np.maximum(s2 / npix - mu * mu, 0.0))
             ys = (np.arange(8) * h // 8).clip(0, h - 1)
             xs = (np.arange(8) * w // 8).clip(0, w - 1)
+            # sample the same 8x8 pixel grid via a flat index gather
+            samp = ((ys[:, None] * w + xs[None, :]) * 3).reshape(-1)
+            samp = (samp[:, None] + np.arange(3)).reshape(-1)
             small = np.ascontiguousarray(
-                stacked[:, ys[:, None], xs[None, :], :].astype(
-                    np.float32).mean(axis=3).reshape(k, 64))
-            # threshold means via per-row 1-D .mean(): the 2-D axis
-            # reduction uses a different float32 summation order for
-            # short rows, and an exact tie at the threshold then flips
-            # a bit vs the per-image formulation (observed)
-            thr = np.empty((k, 1), dtype=np.float32)
-            for j in range(k):
-                thr[j, 0] = small[j].mean()
+                flat[:, samp].reshape(k, 64, 3).astype(
+                    np.float32).mean(axis=2).reshape(k, 64))
+            # threshold mean per row: on a CONTIGUOUS (k, 64) float32
+            # array the axis reduction uses the same pairwise summation
+            # order as the per-image 1-D .mean(), so this is
+            # bit-identical to the per-row loop it replaced (which cost
+            # ~10 us/row in numpy call overhead); pinned by
+            # test_axis_mean_bit_identical_to_per_row
+            thr = small.mean(axis=1, dtype=np.float32)[:, None]
             bits = small > thr
             # integer multiply+sum, NOT matmul: 2-D matmul on uint64
             # silently goes through float64 and loses low bits

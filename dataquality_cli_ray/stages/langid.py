@@ -119,20 +119,29 @@ class LangIdScorer:
         self.min_score = min_score
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = np.asarray(batch[self.text_col].to_pylist(), dtype=object)
-        m = len(texts)
+        col = batch[self.text_col]
+        m = len(col)
         # SPARSE cosine: the dense (rows, dim) count matrix moved
         # dim x 8 B per row through memory (the measured bandwidth
         # bottleneck at full parallelism — BASELINE.md round 3); the
         # per-(row, bucket) counts via sort/unique touch only the ~50
-        # n-gram occurrences a caption actually has.
-        row_of, buckets = ngram_hash_rows(texts, self.n, self.dim)
+        # n-gram occurrences a caption actually has. The hash runs over
+        # the Arrow UTF-8 buffer directly (no Python strings) and the
+        # (row, bucket) composite key stays uint32 — both cut the
+        # per-row memory traffic that inflated kernel cost at full
+        # worker width (8->30 worker inflation 1.85x before, BASELINE).
+        row_of, buckets = ngram_hash_rows(col, self.n, self.dim)
         sims = np.zeros((m, len(self.langs)), dtype=np.float64)
         if len(row_of):
-            key = row_of * self.dim + buckets
+            if m * self.dim < (1 << 32):
+                key = (row_of.astype(np.uint32) * np.uint32(self.dim)
+                       + buckets.astype(np.uint32))
+            else:
+                key = row_of * self.dim + buckets
             uniq, cnt = np.unique(key, return_counts=True)
-            rows = uniq // self.dim
-            bkt = uniq - rows * self.dim
+            rows = (uniq // self.dim).astype(np.int64)
+            bkt = (uniq - rows * np.uint32(self.dim)).astype(np.int64) \
+                if uniq.dtype == np.uint32 else uniq - rows * self.dim
             cf = cnt.astype(np.float64)
             norms = np.sqrt(np.bincount(rows, weights=cf * cf, minlength=m))
             norms[norms == 0] = 1.0

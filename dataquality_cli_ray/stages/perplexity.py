@@ -55,51 +55,83 @@ def merge_char_lm(models: list[dict]) -> dict:
 
 
 def score_texts_batch(model: dict, texts) -> np.ndarray:
-    """Bits/char for a whole batch in one pass: all texts concatenate
-    into one byte array, tri/bi-gram hashes roll over the concatenation
+    """Bits/char for a whole batch in one pass: the tri/bi-gram hashes
+    roll over the Arrow UTF-8 data buffer of the "  t "-padded batch
     (windows crossing text boundaries dropped by a vectorized gather),
     and per-text means come from one ``add.reduceat`` — the per-text
     :func:`score_text` loop spent ~50 µs/row in numpy call overhead.
+
+    ``texts`` may be a ``pa.Array``/``pa.ChunkedArray`` (fast path: no
+    Python strings materialized) or any sequence. When ``dim`` is a
+    power of two ≤ 2^32 the rolling hash runs in uint32 —
+    bucket-identical to the uint64 form because ``% dim`` depends only
+    on the low bits (pinned by ``test_ppl_arrow_matches_list_path``).
     Per-position probabilities are identical to ``score_text``; the
     per-text mean differs only in float summation order (≤ ~1 ulp)."""
+    import pyarrow.compute as pc
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array([None if t is None else str(t) for t in texts],
+                         type=pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
     m = len(texts)
     scores = np.full(m, np.inf, dtype=np.float64)
-    bs, keep = [], []
-    for i, t in enumerate(texts):
-        if t:
-            bs.append(f"  {str(t).lower()} ".encode("utf-8", "ignore"))
-            keep.append(i)
-    if not bs:
+    if m == 0:
         return scores
     dim, order, k, V = model["dim"], model["order"], model["k"], model["vocab"]
-    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
-    arr = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    # old semantics: falsy texts ("" or None) score inf -> null them out
+    # so they contribute zero padded bytes / zero windows
+    masked = pc.if_else(pc.equal(texts, ""), pa.scalar(None, pa.string()),
+                        texts)
+    lowered = pc.utf8_lower(masked)
+    padded = pc.binary_join_element_wise(
+        pa.scalar(" "), lowered, pa.scalar(""), pa.scalar(" "))
+    padded = padded.fill_null("")
+    if isinstance(padded, pa.ChunkedArray):
+        padded = padded.combine_chunks()
+    off_dt = np.int64 if pa.types.is_large_string(padded.type) else np.int32
+    bufs = padded.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dt)[
+        padded.offset: padded.offset + m + 1].astype(np.int64)
+    arr = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, dtype=np.uint8)
+    lens = offs[1:] - offs[:-1]
+    if int(offs[-1]) < order:
+        return scores
+    fast = dim > 0 and (dim & (dim - 1)) == 0 and dim <= (1 << 32)
 
     def roll(n: int) -> np.ndarray:
-        nw = len(arr) - n + 1
-        h = np.zeros(nw, dtype=np.uint64)
+        nw = int(offs[-1]) - n + 1
         with np.errstate(over="ignore"):
-            for j in range(n):
-                h = h * _P + arr[j : nw + j].astype(np.uint64)
-        return (h % np.uint64(dim)).astype(np.int64)
+            if fast:
+                h = arr[:nw].astype(np.uint32)
+                for j in range(1, n):
+                    h = h * np.uint32(1000003) + arr[j: nw + j]
+                return h & np.uint32(dim - 1)
+            h = arr[:nw].astype(np.uint64)
+            for j in range(1, n):
+                h = h * _P + arr[j: nw + j]
+            return (h % np.uint64(dim)).astype(np.int64)
 
     h3_all, h2_all = roll(order), roll(order - 1)
-    counts = lens - order + 1          # trigram windows per text (>= 2)
-    starts = np.zeros(len(bs), dtype=np.int64)
-    np.cumsum(lens[:-1], out=starts[1:])
-    offs = np.zeros(len(bs) + 1, dtype=np.int64)
-    np.cumsum(counts, out=offs[1:])
-    idx = (np.arange(int(offs[-1]), dtype=np.int64)
-           - np.repeat(offs[:-1], counts)
-           + np.repeat(starts, counts))
+    counts = np.maximum(lens - order + 1, 0)  # 0 for empty/null rows
+    co = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(counts, out=co[1:])
+    keep = np.flatnonzero(counts > 0)
+    if not len(keep):
+        return scores
+    idx = (np.arange(int(co[-1]), dtype=np.int64)
+           - np.repeat(co[:-1], counts)
+           + np.repeat(offs[:-1], counts))
     # explicit float64 upcast after the gather: the tables may be held
     # in (exactly-representable) float32 for cache footprint, and a
     # float32 + python-float would otherwise stay float32
     p = ((model["tri"][h3_all[idx]].astype(np.float64) + k)
          / (model["bi"][h2_all[idx]].astype(np.float64) + k * V))
     logs = -np.log2(p)
-    sums = np.add.reduceat(logs, offs[:-1])
-    scores[np.asarray(keep, dtype=np.int64)] = sums / counts
+    sums = np.add.reduceat(logs, co[:-1][keep])
+    scores[keep] = sums / counts[keep]
     return scores
 
 
@@ -141,8 +173,7 @@ class PerplexityScorer:
         self.max_ppl = max_ppl
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        scores = score_texts_batch(self.model, texts)
+        scores = score_texts_batch(self.model, batch[self.text_col])
         # inf (empty text) -> large sentinel; such rows are already
         # dropped by null_blank, keep the column finite for Arrow/SQL.
         scores = np.where(np.isfinite(scores), scores, 999.0)

@@ -240,3 +240,97 @@ def test_stable_hash_and_fingerprints():
 def test_is_null_or_blank():
     arr = pa.array(["a", "", " ", None])
     assert T.is_null_or_blank(arr).to_pylist() == [False, True, True, True]
+
+
+def _ngram_hash_rows_u64_reference(texts, n, dim, seed=0):
+    """The original uint64 object-loop implementation, kept as the test
+    oracle for the uint16 Arrow-buffer fast path (buckets are invariant
+    under the narrower arithmetic because dim divides 2^16). Lowering
+    via Arrow to match the production kernel's case mapping."""
+    import pyarrow.compute as pc
+    lowered = pc.utf8_lower(pa.array(
+        [None if t is None else str(t) for t in texts])).to_pylist()
+    bs, keep = [], []
+    for i, t in enumerate(lowered):
+        if t is None:
+            continue
+        b = f" {t} ".encode("utf-8", "ignore")
+        if len(b) < n:
+            continue
+        bs.append(b)
+        keep.append(i)
+    if not bs:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+    arr = np.frombuffer(b"".join(bs), dtype=np.uint8).astype(np.uint64)
+    nw = len(arr) - n + 1
+    with np.errstate(over="ignore"):
+        h = np.zeros(nw, dtype=np.uint64)
+        for j in range(n):
+            h = h * np.uint64(1000003) + arr[j: nw + j]
+    counts_per = lens - n + 1
+    starts = np.zeros(len(bs), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    offs = np.zeros(len(bs) + 1, dtype=np.int64)
+    np.cumsum(counts_per, out=offs[1:])
+    total = int(offs[-1])
+    idx = (np.arange(total, dtype=np.int64)
+           - np.repeat(offs[:-1], counts_per)
+           + np.repeat(starts, counts_per))
+    buckets = ((h[idx] ^ np.uint64(seed)) % np.uint64(dim)).astype(np.int64)
+    row_of = np.repeat(np.asarray(keep, dtype=np.int64), counts_per)
+    return row_of, buckets
+
+
+def test_ngram_hash_rows_arrow_matches_object_path():
+    texts = [None, "", " ", "ab", "abc", "The Quick  Brown_fox!",
+             "emoji 🙂 mixed", "a" * 500, "\ttab\nnewline", "número ñ",
+             "x", "repeated " * 40]
+    for dim, seed in [(4096, 0), (256, 0), (65536, 7), (1 << 12, 12345)]:
+        ref = _ngram_hash_rows_u64_reference(texts, 3, dim, seed)
+        via_arrow = T.ngram_hash_rows(pa.array(texts, type=pa.string()),
+                                      3, dim, seed)
+        via_obj = T.ngram_hash_rows(np.asarray(texts, dtype=object),
+                                    3, dim, seed)
+        for got in (via_arrow, via_obj):
+            assert np.array_equal(ref[0], got[0])
+            assert np.array_equal(ref[1], got[1])
+    # chunked + sliced inputs hit the offset-handling branch
+    chunked = pa.chunked_array([texts[:5], texts[5:]], type=pa.string())
+    ref = _ngram_hash_rows_u64_reference(texts, 3, 4096)
+    got = T.ngram_hash_rows(chunked, 3, 4096)
+    assert np.array_equal(ref[0], got[0]) and np.array_equal(ref[1], got[1])
+    sliced = pa.array(texts, type=pa.string()).slice(2, 8)
+    ref = _ngram_hash_rows_u64_reference(texts[2:10], 3, 4096)
+    got = T.ngram_hash_rows(sliced, 3, 4096)
+    assert np.array_equal(ref[0], got[0]) and np.array_equal(ref[1], got[1])
+    # non-power-of-two dim falls back to the object path
+    ref = _ngram_hash_rows_u64_reference(texts, 3, 1000)
+    got = T.ngram_hash_rows(pa.array(texts, type=pa.string()), 3, 1000)
+    assert np.array_equal(ref[0], got[0]) and np.array_equal(ref[1], got[1])
+
+
+def test_axis_mean_bit_identical_to_per_row():
+    # the decode stage's ahash threshold relies on mean(axis=1) over a
+    # contiguous (k, 64) float32 block being bit-identical to the
+    # per-image 1-D .mean() formulation (same pairwise summation order)
+    rng = np.random.default_rng(7)
+    small = np.ascontiguousarray(
+        rng.random((4096, 64), dtype=np.float32) * 255)
+    ref = np.array([row.mean() for row in small], dtype=np.float32)
+    got = small.mean(axis=1, dtype=np.float32)
+    assert np.array_equal(ref.view(np.int32), got.view(np.int32))
+
+
+def test_ppl_arrow_matches_list_path():
+    from dataquality_cli_ray.stages.perplexity import score_texts_batch
+    texts, _ = seed_corpus(n_per_lang=30)
+    model = train_char_lm(texts)
+    probe = list(texts[:40]) + [None, "", " ", "ab", "UPPER lower 123"]
+    via_list = score_texts_batch(model, probe)
+    via_arrow = score_texts_batch(model, pa.array(probe, type=pa.string()))
+    assert np.array_equal(via_list, via_arrow)
+    # per-position probabilities identical to the single-text scorer
+    for t in probe[:5]:
+        lone = score_texts_batch(model, [t])[0]
+        assert abs(lone - score_text(model, t)) < 1e-9
