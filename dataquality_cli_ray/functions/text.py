@@ -59,19 +59,67 @@ def count_regex(arr, pattern: str) -> pa.Array:
     return pc.count_substring_regex(arr, pattern).fill_null(0)
 
 
+_ALPHA_LUT = np.zeros(256, dtype=np.uint8)
+_ALPHA_LUT[ord("A"): ord("Z") + 1] = 1
+_ALPHA_LUT[ord("a"): ord("z") + 1] = 1
+_DIGIT_LUT = np.zeros(256, dtype=np.uint8)
+_DIGIT_LUT[ord("0"): ord("9") + 1] = 1
+
+
+def _byte_class_count(arr: pa.Array | pa.ChunkedArray,
+                      lut: np.ndarray) -> np.ndarray:
+    """Per-row count of bytes whose LUT entry is 1, straight off the
+    Arrow UTF-8 buffer (LUT gather + one cumsum; counts read as
+    csum[end]-csum[start]). For ASCII byte classes this equals the
+    per-CODEPOINT regex count on any valid UTF-8 string: multi-byte
+    codepoints consist solely of bytes >= 0x80, which never collide
+    with an ASCII range. Null rows return 0 (callers mask)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    off_dt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dt)[
+        arr.offset: arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, dtype=np.uint8)
+    csum = np.zeros(len(data) + 1, dtype=np.int64)
+    np.cumsum(lut[data], out=csum[1:])
+    return csum[offs[1:]] - csum[offs[:-1]]
+
+
 def alpha_ratio(arr) -> pa.Array:
-    """#alphabetic chars / #chars (1.0 for empty to avoid div-by-zero drops)."""
-    n = pc.utf8_length(arr).cast(pa.float64())
-    alpha = pc.count_substring_regex(arr, r"[A-Za-z]").cast(pa.float64())
-    safe_n = pc.max_element_wise(n, pa.scalar(1.0))
-    return pc.if_else(pc.equal(n, 0.0), pa.scalar(1.0), pc.divide(alpha, safe_n))
+    """#alphabetic chars / #chars (1.0 for empty to avoid div-by-zero
+    drops). Value-identical to the regex formulation
+    ``count_substring_regex(arr, '[A-Za-z]') / utf8_length`` the DuckDB
+    oracles use (see ``_byte_class_count``), computed without a regex
+    scan."""
+    n = np.asarray(pc.utf8_length(arr).fill_null(0), dtype=np.float64)
+    alpha = _byte_class_count(arr, _ALPHA_LUT).astype(np.float64)
+    out = np.divide(alpha, np.maximum(n, 1.0))
+    out[n == 0] = 1.0
+    return _with_validity(out, arr)
 
 
 def digit_ratio(arr) -> pa.Array:
-    n = pc.utf8_length(arr).cast(pa.float64())
-    digit = pc.count_substring_regex(arr, r"[0-9]").cast(pa.float64())
-    safe_n = pc.max_element_wise(n, pa.scalar(1.0))
-    return pc.if_else(pc.equal(n, 0.0), pa.scalar(0.0), pc.divide(digit, safe_n))
+    n = np.asarray(pc.utf8_length(arr).fill_null(0), dtype=np.float64)
+    digit = _byte_class_count(arr, _DIGIT_LUT).astype(np.float64)
+    out = np.divide(digit, np.maximum(n, 1.0))
+    out[n == 0] = 0.0
+    return _with_validity(out, arr)
+
+
+def _with_validity(values: np.ndarray, like) -> pa.Array:
+    """float64 numpy values -> pa.Array carrying ``like``'s nulls (the
+    regex formulation returned null for null input)."""
+    if isinstance(like, pa.ChunkedArray):
+        like = like.combine_chunks()
+    if like.null_count == 0:
+        return pa.array(values, type=pa.float64())
+    return pa.array(values, type=pa.float64(),
+                    mask=~np.asarray(like.is_valid(), dtype=bool))
 
 
 def token_count_ws(arr) -> pa.Array:

@@ -635,6 +635,45 @@ def quality_pipeline(
     return out
 
 
+def _single_read_pipeline(
+    ds: "rd.Dataset", cfg: QualityConfig, decode: bool,
+    langid_model: dict | None = None, ppl_model: dict | None = None,
+    select_output: bool = True, batch_size: int | None = None,
+) -> "rd.Dataset":
+    """ONE pass over the raw input: read → kernels fused into a single
+    operator producing the compact label rows (~190 B/row — the image
+    payload never leaves the read task), MATERIALIZED; the dup decision
+    then runs over the materialized labels (no second scan of the raw
+    table — at 100 TB the pruned pre-pass read is the expensive part);
+    finally a cheap mark+finalize pass over the label blocks. Output is
+    row-identical to the staged mode (same combiner/decision)."""
+    if langid_model is None or ppl_model is None:
+        lm, pm = build_models()
+        langid_model = langid_model or lm
+        ppl_model = ppl_model or pm
+    langid_ref = ray.put(langid_model)
+    ppl_ref = ray.put(ppl_model)
+    labels = ds.map_batches(
+        _fused_task_fn,
+        fn_kwargs={"cfg": cfg, "langid_ref": langid_ref,
+                   "ppl_ref": ppl_ref, "decode": decode,
+                   "keep_bytes": False},
+        batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).materialize()
+    proj = labels.select_columns([cfg.dedup_key, cfg.id_col])
+    dup_map = phash_dup_losers(proj, mode="auto",
+                               approx_rows=labels.count())
+    dup_ref = ray.put(dup_map)
+    return labels.map_batches(
+        _mark_finalize_task_fn,
+        fn_kwargs={"dup_ref": dup_ref,
+                   "select_cols": OUTPUT_COLS if select_output else None},
+        batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+
+
 def images_quality_pipeline(
     input_path: str,
     cfg: QualityConfig | None = None,
@@ -646,6 +685,12 @@ def images_quality_pipeline(
     """End-to-end over a parquet images table.
 
     dedup_mode:
+    - "single": ONE scan of the raw table — kernels run fused with the
+      read, compact labels materialize, and the dup decision + marking
+      run over the labels (no pruned pre-pass read at all). The best
+      mode when reading the input twice is expensive (remote storage /
+      100 TB) and when label rows ≪ input bytes. Requires the labels
+      to fit the object store (~2 % of input size; spills otherwise).
     - "staged" (default): the dedup aggregation runs FIRST at full
       cluster width (a few seconds — it scans only (phash, image_id));
       the main pass then gets the resolved loser map and Ray fuses
@@ -683,6 +728,8 @@ def images_quality_pipeline(
         ctx.target_max_block_size or (128 << 20), 32 << 20)
     nrows, nfiles = _parquet_rows(input_path)
     ds = read_parquet_fast(input_path)
+    if dedup_mode == "single" and dup_map is None:
+        return _single_read_pipeline(ds, cfg, decode, **kw)
     if dedup_mode == "join" and dup_map is None:
         proj = read_parquet_fast(input_path, columns=[cfg.dedup_key, cfg.id_col])
         return quality_pipeline(ds, None, cfg, decode=decode,

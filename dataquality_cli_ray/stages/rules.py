@@ -59,8 +59,11 @@ class HeuristicRules:
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         cap = batch[cfg.caption_col]
-        trimmed = pc.utf8_trim_whitespace(cap).fill_null("")
-        null_blank = T.is_null_or_blank(cap)
+        trimmed_raw = pc.utf8_trim_whitespace(cap)
+        trimmed = trimmed_raw.fill_null("")
+        # same rule as T.is_null_or_blank(cap), reusing the trim pass
+        null_blank = pc.or_kleene(
+            pc.is_null(cap), pc.equal(trimmed_raw, "")).fill_null(True)
         ln = pc.utf8_length(trimmed)
         length_bounds = pc.and_(
             pc.invert(null_blank),
