@@ -234,12 +234,18 @@ def generate_images_parquet(
             # kernel chain, so ~8k-row (~20 MB) files keep ~2-3 tasks
             # per CPU in flight at bench scale instead of 50-100k-row
             # files that quantize the run into a few coarse waves
+            # bytes holds an (incompressible) encoded image payload:
+            # storing it uncompressed skips a pure-memcpy snappy
+            # decompress pass on EVERY read — the layout choice a real
+            # image-parquet lake makes for jpeg payloads
             .write_parquet(path, min_rows_per_file=8192,
-                           max_rows_per_file=8192)
+                           max_rows_per_file=8192,
+                           compression="none")
         )
     else:
         t = gen_rows(np.arange(n_rows), n_rows, seed)
-        pq.write_table(t, os.path.join(path, "part-0.parquet"))
+        pq.write_table(t, os.path.join(path, "part-0.parquet"),
+                       compression="none")
     with open(marker, "w") as f:
         f.write("ok")
     return path

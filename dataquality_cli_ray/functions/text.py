@@ -158,7 +158,7 @@ def ngram_hash_rows(
     texts, n: int, dim: int, seed: int = 0
 ) -> tuple[np.ndarray, np.ndarray]:
     """All hashed char-n-gram occurrences of a batch as two parallel
-    arrays ``(row_of, buckets)`` — the SPARSE form of the count matrix
+    int32 arrays ``(row_of, buckets)`` — the SPARSE form of the count matrix
     (one entry per n-gram occurrence, not per (row, bucket) cell). Uses
     a fixed polynomial rolling hash so results are deterministic across
     processes (no PYTHONHASHSEED dependence).
@@ -182,7 +182,7 @@ def ngram_hash_rows(
         # in Arrow for BOTH paths so results cannot diverge on edge-case
         # Unicode case mappings)
         if len(texts) == 0:
-            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+            return (np.empty(0, dtype=np.int32), np.empty(0, dtype=np.int32))
         texts = pa.array([None if t is None else str(t) for t in texts],
                          type=pa.string())
     fast_dim = dim > 0 and (dim & (dim - 1)) == 0 and dim <= 65536
@@ -190,7 +190,7 @@ def ngram_hash_rows(
         texts = texts.combine_chunks()
     m = len(texts)
     if m == 0:
-        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        return (np.empty(0, dtype=np.int32), np.empty(0, dtype=np.int32))
     # " t ".lower() padding in two vectorized Arrow passes
     lowered = pc.utf8_lower(texts)
     padded = pc.binary_join_element_wise(
@@ -205,7 +205,9 @@ def ngram_hash_rows(
     data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
         else np.empty(0, dtype=np.uint8)
     if offs[-1] - offs[0] < n:
-        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        return (np.empty(0, dtype=np.int32), np.empty(0, dtype=np.int32))
+    if int(offs[-1]) > np.iinfo(np.int32).max:
+        raise ValueError("batch text buffer exceeds 2 GiB; split the batch")
     nw = int(offs[-1]) - n + 1
     if fast_dim:
         P = np.uint16(1000003 & 0xFFFF)
@@ -219,21 +221,24 @@ def ngram_hash_rows(
             h = data[:nw].astype(np.uint64)
             for j in range(1, n):
                 h = h * P64 + data[j: nw + j]
-    lens = offs[1:] - offs[:-1]
-    counts_per = np.maximum(lens - n + 1, 0)
-    co = np.zeros(m + 1, dtype=np.int64)
+    # int32 throughout: occurrence counts and buffer offsets are far
+    # below 2^31 for any sane batch, and the three occurrence-length
+    # temps were the kernel's remaining memory traffic at full width
+    lens32 = (offs[1:] - offs[:-1]).astype(np.int32)
+    counts_per = np.maximum(lens32 - n + 1, 0)
+    co = np.zeros(m + 1, dtype=np.int32)
     np.cumsum(counts_per, out=co[1:])
     total = int(co[-1])
-    idx = (np.arange(total, dtype=np.int64)
+    idx = (np.arange(total, dtype=np.int32)
            - np.repeat(co[:-1], counts_per)
-           + np.repeat(offs[:-1], counts_per))
+           + np.repeat(offs[:-1].astype(np.int32), counts_per))
     if fast_dim:
         buckets = ((h[idx] ^ np.uint16(seed & 0xFFFF))
-                   & np.uint16(dim - 1)).astype(np.int64)
+                   & np.uint16(dim - 1)).astype(np.int32)
     else:
         buckets = ((h[idx] ^ np.uint64(seed))
-                   % np.uint64(dim)).astype(np.int64)
-    row_of = np.repeat(np.arange(m, dtype=np.int64), counts_per)
+                   % np.uint64(dim)).astype(np.int32)
+    row_of = np.repeat(np.arange(m, dtype=np.int32), counts_per)
     return row_of, buckets
 
 
@@ -252,6 +257,7 @@ def ngram_count_matrix(texts: np.ndarray, n: int, dim: int, seed: int = 0) -> np
     row_of, buckets = ngram_hash_rows(texts, n, dim, seed)
     if len(row_of) == 0:
         return out
-    flat = np.bincount(row_of * dim + buckets, minlength=m * dim)
+    flat = np.bincount(row_of.astype(np.int64) * dim + buckets,
+                       minlength=m * dim)
     out += flat.reshape(m, dim).astype(np.float32)
     return out

@@ -735,13 +735,22 @@ def images_quality_pipeline(
         return quality_pipeline(ds, None, cfg, decode=decode,
                                 dup_ds=dup_groups_dataset(proj), **kw)
     if dup_map is None:
-        dup_ref = _dup_prepass_task.remote(input_path, cfg.dedup_key,
-                                           cfg.id_col, nrows, nfiles)
         if dedup_mode == "staged":
-            dup_map = ray.get(dup_ref)      # full cluster, a few seconds
-            if isinstance(dup_map, ray.ObjectRef):
-                dup_map = ray.get(dup_map)
+            # run the pre-pass DIRECTLY from the driver: the detached
+            # shell task added 1-2 s (task launch + a second in-worker
+            # footer prefetch) that the staged mode, which blocks on the
+            # result anyway, has no reason to pay
+            nb = max(2 * _ray_cpus(), 1)
+            if nfiles:
+                nb = min(nb, nfiles)
+            proj = read_parquet_fast(input_path,
+                                     columns=[cfg.dedup_key, cfg.id_col],
+                                     override_num_blocks=nb)
+            dup_map = phash_dup_losers(proj, mode="auto",
+                                       approx_rows=nrows)
         else:
+            dup_ref = _dup_prepass_task.remote(input_path, cfg.dedup_key,
+                                               cfg.id_col, nrows, nfiles)
             return quality_pipeline(ds, None, cfg, decode=decode,
                                     dup_ref=dup_ref, **kw)
     return quality_pipeline(ds, dup_map, cfg, decode=decode, **kw)

@@ -142,18 +142,49 @@ class _LocalFooterMetadataProvider:
     """
 
     _cls = None
+    # footer cache keyed by (path, mtime_ns, size): a quality pipeline
+    # reads the same table 2-3x per run (row-count probe, dedup
+    # pre-pass projection, main scan) — only the first pays the footer
+    # reads; invalidated automatically when the file changes
+    _cache: dict = {}
 
     @classmethod
     def get(cls):
         if cls._cls is None:
+            import os as _os
+
             from ray.data.datasource.parquet_meta_provider import (
                 ParquetMetadataProvider,
                 _fetch_metadata,
             )
+            cache = cls._cache
 
             class LocalFooterMetadataProvider(ParquetMetadataProvider):
                 def prefetch_file_metadata(self, fragments, **ray_remote_args):
-                    return _fetch_metadata(fragments)
+                    out, missing, mkeys = [], [], []
+                    for f in fragments:
+                        try:
+                            st = _os.stat(f.path)
+                            key = (f.path, st.st_mtime_ns, st.st_size)
+                        except OSError:
+                            key = None
+                        md = cache.get(key) if key is not None else None
+                        out.append(md)
+                        if md is None:
+                            missing.append(f)
+                            mkeys.append(key)
+                    if missing:
+                        if len(cache) > 65536:
+                            cache.clear()
+                        fetched = _fetch_metadata(missing)
+                        j = 0
+                        for i in range(len(out)):
+                            if out[i] is None:
+                                out[i] = fetched[j]
+                                if mkeys[j] is not None:
+                                    cache[mkeys[j]] = fetched[j]
+                                j += 1
+                    return out
 
             cls._cls = LocalFooterMetadataProvider
         return cls._cls

@@ -137,7 +137,7 @@ class LangIdScorer:
                 key = (row_of.astype(np.uint32) * np.uint32(self.dim)
                        + buckets.astype(np.uint32))
             else:
-                key = row_of * self.dim + buckets
+                key = row_of.astype(np.int64) * self.dim + buckets
             uniq, cnt = np.unique(key, return_counts=True)
             rows = (uniq // self.dim).astype(np.int64)
             bkt = (uniq - rows * np.uint32(self.dim)).astype(np.int64) \

@@ -101,29 +101,42 @@ def score_texts_batch(model: dict, texts) -> np.ndarray:
         return scores
     fast = dim > 0 and (dim & (dim - 1)) == 0 and dim <= (1 << 32)
 
-    def roll(n: int) -> np.ndarray:
-        nw = int(offs[-1]) - n + 1
+    def roll_pair(n: int) -> tuple[np.ndarray, np.ndarray]:
+        """(n)-gram and (n-1)-gram bucket streams in one sweep: the
+        n-gram hash extends the (n-1)-gram hash by one step (same
+        recurrence), so the pair costs n+1 vector passes, not 2n-1."""
+        total = int(offs[-1])
         with np.errstate(over="ignore"):
             if fast:
-                h = arr[:nw].astype(np.uint32)
-                for j in range(1, n):
-                    h = h * np.uint32(1000003) + arr[j: nw + j]
-                return h & np.uint32(dim - 1)
-            h = arr[:nw].astype(np.uint64)
-            for j in range(1, n):
-                h = h * _P + arr[j: nw + j]
-            return (h % np.uint64(dim)).astype(np.int64)
+                h = arr[: total - n + 2].astype(np.uint32)
+                for j in range(1, n - 1):
+                    h = h * np.uint32(1000003) + arr[j: total - n + 2 + j]
+                lo = h & np.uint32(dim - 1)          # (n-1)-gram buckets
+                h = (h[: total - n + 1] * np.uint32(1000003)
+                     + arr[n - 1: total])
+                return h & np.uint32(dim - 1), lo
+            h = arr[: total - n + 2].astype(np.uint64)
+            for j in range(1, n - 1):
+                h = h * _P + arr[j: total - n + 2 + j]
+            lo = (h % np.uint64(dim)).astype(np.int64)
+            h = h[: total - n + 1] * _P + arr[n - 1: total]
+            return (h % np.uint64(dim)).astype(np.int64), lo
 
-    h3_all, h2_all = roll(order), roll(order - 1)
-    counts = np.maximum(lens - order + 1, 0)  # 0 for empty/null rows
-    co = np.zeros(m + 1, dtype=np.int64)
+    h3_all, h2_all = roll_pair(order)
+    # int32 index temps: window counts and buffer offsets are < 2^31
+    # for any sane batch (guarded), and the three occurrence-length
+    # temps are real memory traffic at full worker width
+    counts = np.maximum(lens - order + 1, 0).astype(np.int32)
+    co = np.zeros(m + 1, dtype=np.int32)
     np.cumsum(counts, out=co[1:])
     keep = np.flatnonzero(counts > 0)
     if not len(keep):
         return scores
-    idx = (np.arange(int(co[-1]), dtype=np.int64)
+    if int(offs[-1]) > np.iinfo(np.int32).max:
+        raise ValueError("batch text buffer exceeds 2 GiB; split the batch")
+    idx = (np.arange(int(co[-1]), dtype=np.int32)
            - np.repeat(co[:-1], counts)
-           + np.repeat(offs[:-1], counts))
+           + np.repeat(offs[:-1].astype(np.int32), counts))
     # explicit float64 upcast after the gather: the tables may be held
     # in (exactly-representable) float32 for cache footprint, and a
     # float32 + python-float would otherwise stay float32
