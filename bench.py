@@ -207,10 +207,11 @@ def run_scaling() -> dict:
     """
     # larger input for the scaling comparison: at 100k rows the job is
     # overhead-dominated and CPU count barely matters (12.5k rows/CPU at
-    # 32); 6.4M rows (200k rows/CPU at 32) makes compute the bottleneck
+    # 32); 12.8M rows (400k rows/CPU at 32) makes compute the bottleneck
     # so the 8-vs-32 ratio measures the pipeline, not startup — the
-    # round-2 campaign protocol (BASELINE.md)
-    scaling_rows = os.environ.get("SCALING_ROWS", "6400000")
+    # round-2 campaign protocol (BASELINE.md). The fixture is ~31 GB on
+    # first use (generated once, cached).
+    scaling_rows = os.environ.get("SCALING_ROWS", "12800000")
     repeat = os.environ.get("BENCH_HEADLINE_REPEAT", "2")
 
     def warm_page_cache():
