@@ -13,9 +13,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-import ray.data as rd
+
 
 from .functions.rounding import round_half_up, sql_round
+from .sources.readers import read_parquet_small
 from .pipelines import dedup as DD
 from .pipelines import relational as R
 from .pipelines import similarity as SIM
@@ -65,7 +66,7 @@ def _null_expr(col: str, kind: str) -> str:
 # ---------------------------------------------------------------------------
 
 def q_describe_lineitem_numeric(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    ds = read_parquet_small(f"{sf_dir}/lineitem.parquet")
     t = describe(ds).to_pandas()
     t = t[t["kind"] == "numeric"].copy()
     out = pd.DataFrame({
@@ -103,7 +104,7 @@ FROM lineitem""")
 
 
 def q_describe_customer_strings(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(f"{sf_dir}/customer.parquet")
+    ds = read_parquet_small(f"{sf_dir}/customer.parquet")
     t = describe(ds).to_pandas().set_index("column")
     rows = []
     for c in STRING_COLS_CUSTOMER:
@@ -140,7 +141,7 @@ FROM customer""")
 
 
 def q_null_rate_orders(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet")
+    ds = read_parquet_small(f"{sf_dir}/orders.parquet")
     t = describe(ds).to_pandas()
     out = pd.DataFrame({
         "col_name": t["column"],
@@ -164,7 +165,7 @@ def sql_null_rate_orders() -> str:
 
 
 def q_distinct_part(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=DISTINCT_COLS_PART)
+    ds = read_parquet_small(f"{sf_dir}/part.parquet", columns=DISTINCT_COLS_PART)
     t = describe(ds).to_pandas().set_index("column")
     rows = [{"col_name": c, "unique_cnt": int(t.loc[c]["unique"])}
             for c in DISTINCT_COLS_PART]
@@ -180,7 +181,7 @@ def sql_distinct_part() -> str:
 
 
 def q_top_freq_nation(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_regionkey"])
+    ds = read_parquet_small(f"{sf_dir}/nation.parquet", columns=["n_regionkey"])
     t = describe(ds).to_pandas().set_index("column")
     r = t.loc["n_regionkey"]
     return pd.DataFrame([{"top": str(r["top"]), "freq": int(r["freq"])}])
@@ -195,7 +196,7 @@ ORDER BY freq DESC, n_regionkey LIMIT 1"""
 def q_rollup_quality(sf_dir: str) -> pd.DataFrame:
     rows = []
     for tbl in ["region", "nation", "customer", "supplier"]:
-        ds = rd.read_parquet(f"{sf_dir}/{tbl}.parquet")
+        ds = read_parquet_small(f"{sf_dir}/{tbl}.parquet")
         stats = describe(ds)
         np_ = null_percentage(stats)
         rows.append({
@@ -331,7 +332,7 @@ FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
 
 def q_docs_token_stats(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = read_parquet_small(f"{sf_dir}/documents.parquet")
     df = TQ.token_stats(ds).to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
 
@@ -349,7 +350,7 @@ FROM documents ORDER BY doc_id"""
 
 
 def q_docs_quality_scores(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = read_parquet_small(f"{sf_dir}/documents.parquet")
     df = TQ.quality_scores(ds).to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
 
@@ -369,7 +370,7 @@ def sql_docs_quality_scores() -> str:
 
 def q_docs_rules(sf_dir: str) -> pd.DataFrame:
     cfg = QualityConfig(caption_col="text", check_fmt=False)
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_small(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     out = (
         ds.map_batches(HeuristicRules(cfg), batch_format="pyarrow",
@@ -396,7 +397,7 @@ FROM documents) ORDER BY doc_id"""
 
 
 def q_docs_scrubbed(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_small(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     out = ds.map_batches(
         PiiScrubber(text_col="text", out_col="text_scrubbed"),
@@ -425,7 +426,7 @@ def sql_docs_scrubbed() -> str:
 
 
 def q_docs_exact_dedup(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_small(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     out = DD.exact_dedup_by_text(ds, "text", "doc_id")
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
@@ -436,7 +437,7 @@ FROM documents GROUP BY text ORDER BY doc_id"""
 
 
 def q_docs_fingerprints(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_small(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     df = TQ.fingerprints(ds).to_pandas()[["doc_id", "md5_fp"]]
     return df.sort_values("doc_id").reset_index(drop=True)
@@ -458,7 +459,7 @@ EMB_DUP_THRESHOLD = 0.35
 
 def q_ann_topk(sf_dir: str) -> pd.DataFrame:
     Q, qids = SIM.load_query_vectors(sf_dir, ANN_NQ)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = read_parquet_small(f"{sf_dir}/embeddings.parquet")
     # retrieve k+5 on raw scores, then round → re-rank → cut to k so the
     # ranking matches the oracle (which ranks by the rounded score).
     res = SIM.brute_force_topk(ds, Q, qids, ANN_K + 5).to_pandas()
@@ -487,7 +488,7 @@ WHERE rank <= {ANN_K} ORDER BY query_id, rank"""
 
 
 def q_embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = read_parquet_small(f"{sf_dir}/embeddings.parquet")
     out = DD.embedding_dup_pairs_bruteforce(
         ds, "embedding", "vec_id", EMB_DUP_THRESHOLD).to_pandas()
     out["cosine"] = round_half_up(out["cosine"], 6)
@@ -510,7 +511,7 @@ ORDER BY id_a, id_b"""
 # ---------------------------------------------------------------------------
 
 def q_docs_langid(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = read_parquet_small(f"{sf_dir}/documents.parquet")
     import pyarrow.compute as _pc
 
     def _mod5(t):
@@ -530,14 +531,14 @@ def q_docs_langid(sf_dir: str) -> pd.DataFrame:
 
 
 def q_docs_minhash_pairs(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_small(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     pairs = DD.minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
     return pairs.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def q_docs_simhash_pairs(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_small(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     pairs = DD.simhash_pairs(ds, "text", "doc_id", max_hamming=3)
     return pairs.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
@@ -554,7 +555,7 @@ def q_events_props_k(sf_dir: str) -> pd.DataFrame:
     import ray.data  # noqa: F401
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_small(f"{sf_dir}/events.parquet",
                          columns=["event_type", "props"])
 
     def extract(batch: pa.Table) -> pa.Table:
@@ -596,7 +597,7 @@ FROM events GROUP BY event_type ORDER BY event_type"""
 
 def q_docs_winnow(sf_dir: str) -> pd.DataFrame:
     """Winnowing fingerprint counts (rows-only; Schleimer et al. 2003)."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_small(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     df = TQ.fingerprints(ds).to_pandas()[["doc_id", "n_winnow"]]
     return df.sort_values("doc_id").reset_index(drop=True)
@@ -642,7 +643,7 @@ def q_docs_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     ``sql_docs_ngram_jaccard``); for guaranteed recall at low
     thresholds call ``minhash_lsh_pairs(bands=64)`` (rows-per-band 2 →
     miss ≤ 1e-8 at s=0.5) at ~4× the explode cost."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_small(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     cand = DD.minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.4)
     out = DD.verify_pairs_exact_jaccard(cand, ds, "text", "doc_id",
@@ -654,7 +655,7 @@ def q_docs_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
 
 def q_ann_topk_lsh(sf_dir: str) -> pd.DataFrame:
     Q, qids = SIM.load_query_vectors(sf_dir, ANN_NQ)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = read_parquet_small(f"{sf_dir}/embeddings.parquet")
     res = SIM.lsh_topk(ds, Q, qids, ANN_K, dim=Q.shape[1]).to_pandas()
     res["score"] = round_half_up(res["score"], 6)
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
@@ -666,7 +667,7 @@ def q_ann_topk_ivf(sf_dir: str) -> pd.DataFrame:
     FIXED block plan (override_num_blocks) so float partial-sum order
     is identical regardless of cluster size -> golden-parquet oracle."""
     Q, qids = SIM.load_query_vectors(sf_dir, ANN_NQ)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_small(f"{sf_dir}/embeddings.parquet",
                          override_num_blocks=8)
     res = SIM.ivf_topk(ds, Q, qids, ANN_K, n_cells=16, nprobe=4,
                        iters=3).to_pandas()
@@ -693,7 +694,7 @@ def q_images_quality(sf_dir: str) -> pd.DataFrame:
 def q_embedding_dup_lsh(sf_dir: str) -> pd.DataFrame:
     """Hyperplane-LSH near-dup pairs (scale path; recall vs brute force
     asserted in tests — rows-only here)."""
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = read_parquet_small(f"{sf_dir}/embeddings.parquet")
     out = DD.embedding_dup_pairs_lsh(ds, "embedding", "vec_id", dim=64,
                                      threshold=EMB_DUP_THRESHOLD,
                                      nbits=8).to_pandas()
@@ -709,7 +710,7 @@ def q_images_features(sf_dir: str) -> pd.DataFrame:
     from .stages.image_stages import DecodeImageStage
 
     path = generate_images_parquet(2000, use_ray=False)
-    ds = rd.read_parquet(path, columns=["image_id", "bytes", "w", "h"])
+    ds = read_parquet_small(path, columns=["image_id", "bytes", "w", "h"])
     out = ds.map_batches(DecodeImageStage(), batch_format="pyarrow",
                          batch_size=512)
     df = out.select_columns(
@@ -727,7 +728,7 @@ def q_images_resize(sf_dir: str) -> pd.DataFrame:
     from .stages.image_stages import ResizeImageStage
 
     path = generate_images_parquet(2000, use_ray=False)
-    ds = rd.read_parquet(path, columns=["image_id", "bytes", "fmt"])
+    ds = read_parquet_small(path, columns=["image_id", "bytes", "fmt"])
     out = ds.map_batches(ResizeImageStage(16, 16), batch_format="pyarrow",
                          batch_size=512)
 
@@ -761,7 +762,7 @@ def q_docs_perplexity(sf_dir: str) -> pd.DataFrame:
     ids = t["doc_id"].to_numpy(zero_copy_only=False)
     texts = [x for i, x in zip(ids, t["text"].to_pylist()) if i % 5 == 0]
     model = train_char_lm(texts)
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_small(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     out = ds.map_batches(
         PerplexityScorer(model, text_col="text"),
@@ -783,7 +784,7 @@ def q_videos_frame_sample(sf_dir: str) -> pd.DataFrame:
     from .stages.image_stages import FrameSampleStage
 
     path = generate_videos_parquet(500)
-    ds = rd.read_parquet(path, columns=["video_id", "bytes"])
+    ds = read_parquet_small(path, columns=["video_id", "bytes"])
     out = ds.map_batches(FrameSampleStage(every_n=3),
                          batch_format="pyarrow", batch_size=128)
 
@@ -811,7 +812,7 @@ def q_audio_features(sf_dir: str) -> pd.DataFrame:
     from .stages.image_stages import AudioFeatureStage
 
     path = generate_audio_parquet(1000)
-    ds = rd.read_parquet(path)
+    ds = read_parquet_small(path)
     out = ds.map_batches(AudioFeatureStage(), batch_format="pyarrow",
                          batch_size=256)
     df = out.select_columns(
@@ -825,7 +826,7 @@ def q_images_describe(sf_dir: str) -> pd.DataFrame:
     from .fixtures.images import generate_images_parquet
 
     path = generate_images_parquet(2000, use_ray=False)
-    ds = rd.read_parquet(path, columns=["w", "h", "fmt", "caption", "phash"])
+    ds = read_parquet_small(path, columns=["w", "h", "fmt", "caption", "phash"])
     df = describe(ds).to_pandas()
     # merge-order float noise (Chan mean/std partials) is ~1e-15
     # relative; round every float column at 6 dp so the golden-parquet

@@ -24,6 +24,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Mean, Sum
 
 from ..functions.rounding import round_half_up
+from ..sources.readers import read_parquet_small
 
 # per-WORKER-PROCESS broadcast cache (once-per-worker fetch for
 # stateless-task stages; Ray reuses worker processes across tasks)
@@ -44,7 +45,7 @@ def _cached_ref(ref):
 def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> pd.DataFrame:
     """TPC-H Q1-style pricing summary over lineitem (the flagship
     profiling aggregate: per-group sums/means/counts)."""
-    ds = rd.read_parquet(
+    ds = read_parquet_small(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
@@ -105,7 +106,7 @@ def revenue_by_segment(sf_dir: str) -> pd.DataFrame:
         idx = pc.index_in(batch["o_custkey"], value_set=keys)
         return batch.append_column("c_mktsegment", pc.take(segs, idx))
 
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = read_parquet_small(f"{sf_dir}/orders.parquet",
                          columns=["o_custkey", "o_totalprice"])
     agg = (
         ds.map_batches(add_segment, batch_format="pyarrow", batch_size=65536)
@@ -123,7 +124,7 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1-hour window per event_type: count + avg(value).
     Window = truncated-timestamp column + groupby (batch-windowing,
     order-insensitive)."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_small(f"{sf_dir}/events.parquet",
                          columns=["ts", "event_type", "value"])
 
     def add_window(t: pa.Table) -> pa.Table:
@@ -146,7 +147,7 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
 def top_users_by_value(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Grouped top-k: total event value per user, top k users
     (deterministic tie-break: value desc, user_id asc)."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_small(f"{sf_dir}/events.parquet",
                          columns=["user_id", "value"])
     agg = ds.groupby("user_id").aggregate(
         Sum("value", alias_name="total_value"), Count(alias_name="n_events"))
@@ -178,7 +179,7 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
                        value_set=_cached_ref(ref))
         return batch.filter(pc.invert(hit))
 
-    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    ds = read_parquet_small(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
     df = ds.map_batches(anti_filter, batch_format="pyarrow",
                         batch_size=65536).to_pandas()
@@ -202,7 +203,7 @@ def session_windows(sf_dir: str, gap_minutes: int = 30,
     groupby over (user, sid). This avoids the ~1 ms/group map_groups
     cost that a per-user grouping pays at millions of users; bucket
     memory is bounded by scaling num_buckets with the data."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_small(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "value"])
     gap = np.timedelta64(gap_minutes * 60, "s")
 
@@ -242,7 +243,7 @@ def session_windows(sf_dir: str, gap_minutes: int = 30,
 def dup_event_groups(sf_dir: str) -> pd.DataFrame:
     """Duplicate-group counts over events by (user_id, event_type) —
     the phash-dup shape on a driver-provided table (A10)."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_small(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_type"])
     agg = ds.groupby(["user_id", "event_type"]).aggregate(Count(alias_name="cnt"))
     df = agg.to_pandas()
@@ -385,9 +386,9 @@ def events_last_order(sf_dir: str) -> pd.DataFrame:
     order at-or-before the event time (inner semantics; deterministic
     max-orderkey tie-break on same-day orders). Oracle: DuckDB
     ``ASOF JOIN`` over the identically pre-deduped order side."""
-    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+    events = read_parquet_small(f"{sf_dir}/events.parquet",
                              columns=["event_id", "user_id", "ts"])
-    orders = rd.read_parquet(
+    orders = read_parquet_small(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
     out = asof_join(

@@ -205,3 +205,33 @@ def read_parquet_fast(path, columns: list[str] | None = None,
     if "meta_provider" not in kw and all(_is_local_path(p) for p in paths):
         kw["meta_provider"] = _LocalFooterMetadataProvider.get()()
     return rd.read_parquet(path, columns=columns, **kw)
+
+
+def read_parquet_small(path, columns: list[str] | None = None,
+                       rows_per_block: int = 512, max_blocks: int = 64,
+                       **kw) -> "rd.Dataset":
+    """Read a SMALL local parquet table with the block count derived
+    from the footer row count instead of Ray's decoded-size estimate.
+
+    The stock reader shattered a 580 KB / 5000-row documents file into
+    ``SplitBlocks(64)`` (~80-row blocks): 0.35–2.5 s of per-block
+    overhead per scan vs 0.07 s at footer-derived splits, and every
+    downstream ``batch_size=512`` map task pays ~7 block fetches.
+    ~``rows_per_block`` rows per block keeps a batched map stage fully
+    parallel (one task per batch) without near-empty blocks. Footer
+    reads hit the same (path, mtime, size) cache as
+    ``read_parquet_fast``. For large multi-file inputs use
+    ``read_parquet_fast`` — this helper is for small lookup /
+    driver-gate tables."""
+    paths = path if isinstance(path, (list, tuple)) else [path]
+    if "override_num_blocks" not in kw and all(_is_local_path(p) for p in paths):
+        try:
+            import pyarrow.parquet as pq
+            rows = sum(pq.ParquetFile(str(p)).metadata.num_rows
+                       for p in paths)
+            kw["override_num_blocks"] = max(
+                1, min(max_blocks,
+                       (rows + rows_per_block - 1) // rows_per_block))
+        except Exception:
+            pass                      # fall back to the stock estimate
+    return read_parquet_fast(path, columns=columns, **kw)
