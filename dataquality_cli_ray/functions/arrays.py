@@ -1,0 +1,32 @@
+"""Arrow ↔ numpy bridging helpers for vector (``list<float>``) columns.
+
+The naive ``np.stack(col.to_pylist())`` round-trips every element
+through a Python list (measured: the dominant cost of the embedding
+pipelines at sf0.1); for fixed-length list columns the values buffer is
+already the (n × d) matrix — reshape it without touching Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def list_col_to_matrix(col, dtype=np.float64) -> np.ndarray:
+    """(n, d) matrix from a fixed-length ``list<float>`` column —
+    zero-copy from the Arrow values buffer (plus one cast if the stored
+    dtype differs). Raises on ragged rows or null entries (embeddings
+    are dense by construction; a silent mis-reshape would scramble
+    every row after the first ragged one)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    if arr.null_count:
+        raise ValueError("list_col_to_matrix: null rows in vector column")
+    vals = arr.flatten().to_numpy(zero_copy_only=False)
+    if len(vals) % n:
+        raise ValueError(
+            f"list_col_to_matrix: ragged list column ({len(vals)} values "
+            f"across {n} rows)")
+    return vals.reshape(n, -1).astype(dtype, copy=False)

@@ -11,10 +11,14 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pyarrow as pa
 
 MERSENNE61 = np.uint64((1 << 61) - 1)
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
 def stable_hash64(s: str | bytes) -> int:
@@ -24,15 +28,91 @@ def stable_hash64(s: str | bytes) -> int:
     return int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(), "little")
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (public-domain mixer) — in place on uint64."""
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(30)
+        x *= _MIX1
+        x ^= x >> np.uint64(27)
+        x *= _MIX2
+        x ^= x >> np.uint64(31)
+    return x
+
+
+# power table for the vectorized polynomial hash, grown on demand
+# (per-process cache; Ray workers build it once per process)
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _pow_table(n: int, prime: np.uint64 = _FNV_PRIME) -> np.ndarray:
+    t = _POW_CACHE.get(int(prime))
+    if t is None or len(t) < n:
+        size = max(n, 4096)
+        t = np.full(size, prime, dtype=np.uint64)
+        t[0] = np.uint64(1)
+        np.cumprod(t, out=t)  # uint64 wraps mod 2^64 (C semantics)
+        _POW_CACHE[int(prime)] = t
+    return t
+
+
+def _stable_hash64_arrow(arr: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """One polynomial-hash pass over the raw UTF-8/binary buffer —
+    zero Python strings: h(doc) = splitmix64(sum_j byte_j * P^(len-1-j)
+    mod 2^64, xor len*golden). Nulls hash to 0."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
+            or pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type)):
+        arr = pa.compute.cast(arr, pa.string())
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    large = (pa.types.is_large_string(arr.type)
+             or pa.types.is_large_binary(arr.type))
+    bufs = arr.buffers()
+    odt = np.int64 if large else np.int32
+    offs = np.frombuffer(bufs[1], dtype=odt)[
+        arr.offset : arr.offset + n + 1].astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, dtype=np.uint8))
+    lens = np.diff(offs)
+    start, end = int(offs[0]), int(offs[-1])
+    seg = data[start:end]
+    total = end - start
+    table = _pow_table(int(lens.max()) + 1 if n else 1)
+    # exponent per byte = distance from its doc's end (Horner weights)
+    e = (np.repeat(offs[1:], lens) - np.int64(1)
+         - (np.arange(total, dtype=np.int64) + start))
+    with np.errstate(over="ignore"):
+        terms = seg.astype(np.uint64) * table[e]
+        c = np.zeros(total + 1, dtype=np.uint64)
+        np.cumsum(terms, out=c[1:])
+        sums = c[offs[1:] - start] - c[offs[:-1] - start]
+        # fold in a nonzero offset so "" doesn't mix to 0 (the null
+        # sentinel): splitmix64(0) == 0
+        h = _splitmix64(sums ^ (lens.astype(np.uint64) * _GOLDEN)
+                        ^ _FNV_OFFSET)
+    if arr.null_count:
+        h[arr.is_null().to_numpy(zero_copy_only=False)] = 0
+    return h.view(np.int64)
+
+
 def stable_hash64_array(texts) -> np.ndarray:
-    """Vector of stable 64-bit hashes as int64 (two's complement)."""
-    out = np.empty(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        if t is None:
-            out[i] = 0
-        else:
-            out[i] = stable_hash64(str(t))
-    return out.view(np.int64)
+    """Vector of stable 64-bit content hashes as int64 (two's
+    complement). Accepts a pyarrow (Chunked)Array — the fast path, one
+    vectorized polynomial-hash pass over the raw UTF-8 buffer, zero
+    Python strings — or any Python sequence (converted through Arrow).
+    Nulls hash to 0.
+
+    Round-3 algorithm change (per-row blake2b loop → vectorized
+    FNV-prime polynomial + splitmix64 finalizer): values are
+    internal-only (dedup group keys, exchange partition ids) and never
+    surface in query outputs, so no golden depends on them."""
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        return _stable_hash64_arrow(texts)
+    arr = pa.array(
+        [None if t is None else str(t) for t in texts], type=pa.string())
+    return _stable_hash64_arrow(arr)
 
 
 def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:

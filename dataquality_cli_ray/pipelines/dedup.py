@@ -68,6 +68,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Min, Sum
 
+from ..functions.arrays import list_col_to_matrix
 from ..functions.hashing import (
     MinHasher,
     char_shingle_hashes,
@@ -114,7 +115,7 @@ class _HashText:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        h = stable_hash64_array(batch[self.text_col].to_pylist())
+        h = stable_hash64_array(batch[self.text_col])  # Arrow-buffer pass
         return batch.append_column("text_hash", pa.array(h, type=pa.int64()))
 
 
@@ -154,7 +155,7 @@ def _key_partition_ids(arr: "pa.ChunkedArray | pa.Array", P: int) -> np.ndarray:
     if pa.types.is_integer(arr.type):
         k = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
     else:
-        k = stable_hash64_array(arr.to_pylist()).view(np.uint64)
+        k = stable_hash64_array(arr).view(np.uint64)
     with np.errstate(over="ignore"):
         mixed = k * np.uint64(0x9E3779B97F4A7C15)
     return (mixed % np.uint64(P)).astype(np.int64)
@@ -404,16 +405,30 @@ def minhash_lsh_pairs(
 def verify_pairs_exact_jaccard(
     pairs: "rd.Dataset", docs_ds: "rd.Dataset", text_col: str, id_col: str,
     shingle_k: int = 5, threshold: float = 0.7,
+    mode: str = "auto", broadcast_max_docs: int = 2_000_000,
 ) -> "rd.Dataset":
-    """Exact-Jaccard verification of candidate pairs via a broadcast
-    id→text map holding ONLY ids that appear in ``pairs`` (candidates ≪
-    corpus — the broadcast is O(candidate docs), not O(corpus); for
-    corpora where even the candidate doc set outgrows memory, replace
-    with a hash-bucketed join of pairs to texts — same verification,
-    bucketed)."""
-    # pairs is consumed twice (id collection + verification) — pin the
-    # small pair table so the upstream LSH work isn't recomputed
+    """Exact-Jaccard verification of candidate pairs.
+
+    mode="broadcast" (default when the candidate set is small): a
+    broadcast id→text map holding ONLY ids that appear in ``pairs``
+    (candidates ≪ corpus — the broadcast is O(candidate docs), not
+    O(corpus)).
+
+    mode="join" (selected by "auto" above ``broadcast_max_docs``
+    potential candidate docs): zero driver state — candidate docs are
+    selected with a hash-partitioned semi-join, each doc's distinct
+    shingle-hash set is serialized once, and the sets reach their pairs
+    through two hash-partitioned ``Dataset.join``s (on id_a, then id_b).
+    Identical output to broadcast mode (pytest-pinned)."""
+    # pairs is consumed more than once — pin the small pair table so
+    # the upstream LSH work isn't recomputed
     pairs = pairs.materialize()
+    if mode == "auto":
+        mode = ("join" if 2 * pairs.count() > broadcast_max_docs
+                else "broadcast")
+    if mode == "join":
+        return _verify_pairs_join(pairs, docs_ds, text_col, id_col,
+                                  shingle_k, threshold)
     # 1) distinct candidate ids from the (small) pairs dataset
     cand_ids: set = set()
     for b in pairs.select_columns(["id_a", "id_b"]).iter_batches(
@@ -446,6 +461,72 @@ def verify_pairs_exact_jaccard(
         return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
 
     return pairs.map_batches(verify, batch_format="pyarrow", batch_size=4096)
+
+
+def _verify_pairs_join(
+    pairs: "rd.Dataset", docs_ds: "rd.Dataset", text_col: str, id_col: str,
+    shingle_k: int, threshold: float,
+) -> "rd.Dataset":
+    """Bucketed verify path: shingle sets meet their pairs through
+    hash-partitioned joins — no driver-side id set or text map."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    P = max(2, min(32, cpus))
+    cand_ids = pairs.select_columns(["id_a"]).rename_columns(
+        {"id_a": id_col}).union(
+        pairs.select_columns(["id_b"]).rename_columns({"id_b": id_col}))
+
+    def distinct_ids(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: pa.compute.unique(
+            t[id_col].combine_chunks())})
+
+    cand_ids = cand_ids.map_batches(distinct_ids, batch_format="pyarrow",
+                                    batch_size=65536)
+    cand_docs = semi_join_filter(
+        docs_ds.select_columns([id_col, text_col]), cand_ids, id_col,
+        num_partitions=P)
+
+    def to_shingles(t: pa.Table) -> pa.Table:
+        hashes, offsets = char_shingle_hashes_batch(
+            t[text_col].to_pylist(), shingle_k)
+        hashes, offsets = dedupe_per_doc(hashes, offsets)
+        blobs = [hashes[offsets[i]:offsets[i + 1]].tobytes()
+                 for i in range(len(offsets) - 1)]
+        return pa.table({id_col: t[id_col],
+                         "sh": pa.array(blobs, type=pa.large_binary())})
+
+    shingles = cand_docs.map_batches(to_shingles, batch_format="pyarrow",
+                                     batch_size=4096)
+    # two hash-partitioned joins carry each side's shingle set to the pair
+    j = pairs.join(shingles, join_type="inner", num_partitions=P,
+                   on=("id_a",), right_on=(id_col,), right_suffix="_a")
+    sh_a = "sh" if "sh" in j.schema().names else "sh_a"
+    j = j.rename_columns({sh_a: "sh_a"}) if sh_a == "sh" else j
+    # the right key column (id_col) may survive the join — drop it so it
+    # can't collide with the second join's right side
+    if id_col in j.schema().names and id_col not in pairs.schema().names:
+        j = j.drop_columns([id_col])
+    j = j.join(shingles, join_type="inner", num_partitions=P,
+               on=("id_b",), right_on=(id_col,), right_suffix="_b")
+    sh_b = "sh" if "sh" in j.schema().names else "sh_b"
+    j = j.rename_columns({sh_b: "sh_b"}) if sh_b == "sh" else j
+
+    keep_cols = [c for c in pairs.schema().names] + ["jaccard"]
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ja = np.empty(batch.num_rows, dtype=np.float64)
+        a_col, b_col = batch["sh_a"].to_pylist(), batch["sh_b"].to_pylist()
+        for i in range(batch.num_rows):
+            sa = np.frombuffer(a_col[i] or b"", dtype=np.uint64)
+            sb = np.frombuffer(b_col[i] or b"", dtype=np.uint64)
+            ja[i] = jaccard(sa, sb)
+        out = batch.append_column("jaccard", pa.array(ja, type=pa.float64()))
+        out = out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
+        return out.select(keep_cols)
+
+    return j.map_batches(verify, batch_format="pyarrow", batch_size=4096)
 
 
 # ------------------------------------------------------------- simhash
@@ -535,21 +616,6 @@ def simhash_pairs(
 # ---------------------------------------------------- embedding cosine
 
 
-class _NormalizeEmb:
-    def __init__(self, vec_col: str):
-        self.vec_col = vec_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        m = np.stack(batch[self.vec_col].to_pylist()).astype(np.float64)
-        n = np.linalg.norm(m, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        m = m / n
-        return batch.set_column(
-            batch.schema.get_field_index(self.vec_col), self.vec_col,
-            pa.array(list(m), type=pa.list_(pa.float64())),
-        )
-
-
 def embedding_dup_pairs_bruteforce(
     ds: "rd.Dataset", vec_col: str, id_col: str, threshold: float = 0.95,
 ) -> "rd.Dataset":
@@ -560,8 +626,10 @@ def embedding_dup_pairs_bruteforce(
     ids_l, vecs_l = [], []
     for b in ds.select_columns([id_col, vec_col]).iter_batches(
             batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
         ids_l.extend(b[id_col].to_pylist())
-        vecs_l.append(np.stack(b[vec_col].to_pylist()).astype(np.float64))
+        vecs_l.append(list_col_to_matrix(b[vec_col], dtype=np.float64))
     M = np.concatenate(vecs_l)
     M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     all_ids = np.asarray(ids_l)
@@ -571,8 +639,9 @@ def embedding_dup_pairs_bruteforce(
 
     def pairs_fn(batch: pa.Table) -> pa.Table:
         ids_b, M_b = _cached_ref(ref)
-        q = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
-        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        q = list_col_to_matrix(batch[vec_col], dtype=np.float64)
+        # zero-copy matrices are read-only (plasma buffer) — not in-place
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         qids = np.asarray(batch[id_col].to_pylist())
         sims = q @ M_b.T
         ia, ib, cs = [], [], []
@@ -602,7 +671,7 @@ class _HyperplaneLSH:
         self.vec_col, self.id_col = vec_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = np.stack(batch[self.vec_col].to_pylist()).astype(np.float64)
+        m = list_col_to_matrix(batch[self.vec_col], dtype=np.float64)
         bits = (m @ self.H) > 0
         key = np.zeros(len(m), dtype=np.int64)
         for b in range(bits.shape[1]):
@@ -611,15 +680,16 @@ class _HyperplaneLSH:
         return out
 
 
-def _emb_bucket_pairs(g: pd.DataFrame, vec_col: str, id_col: str,
+def _emb_bucket_pairs(g: pd.DataFrame, M: np.ndarray, id_col: str,
                       threshold: float, max_bucket: int) -> pd.DataFrame:
-    """Exact all-pairs cosine within one hyperplane-LSH bucket."""
+    """Exact all-pairs cosine within one hyperplane-LSH bucket; vectors
+    are gathered by row index from the partition's pre-normalized
+    matrix ``M`` (built once, zero-copy from Arrow)."""
     g = _cap_bucket(g.sort_values(id_col), max_bucket, "embedding-lsh")
     n = len(g)
     if n < 2:
         return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-    m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
-    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    m = M[g["__row"].to_numpy()]
     ids = g[id_col].to_numpy()
     sims = m @ m.T
     iu = np.triu_indices(n, 1)
@@ -637,10 +707,15 @@ def _emb_partition_task(vec_col: str, id_col: str, threshold: float,
     id_type = t.schema.field(id_col).type
     frames = []
     if t.num_rows:
-        df = t.to_pandas()
+        from ..functions.arrays import list_col_to_matrix
+        M = list_col_to_matrix(t[vec_col], dtype=np.float64)
+        # zero-copy matrices are read-only (Arrow buffer) — not in-place
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        df = t.drop_columns([vec_col]).to_pandas()
+        df["__row"] = np.arange(len(df), dtype=np.int64)
         for _, g in _nonsingleton_groups(df, "lsh_key"):
             frames.append(
-                _emb_bucket_pairs(g, vec_col, id_col, threshold, max_bucket))
+                _emb_bucket_pairs(g, M, id_col, threshold, max_bucket))
     return _pairs_to_table(frames, id_type, "cosine", pa.float64())
 
 

@@ -160,34 +160,69 @@ def top_users_by_value(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return df[["user_id", "total_value_r", "n_events"]]
 
 
-def customers_without_orders(sf_dir: str) -> pd.DataFrame:
-    """ANTI-join via broadcast key set (ray_guide 'Semi / anti join'):
-    the orders-side key set ships once; customers stream through a
-    vectorized membership filter. No shuffle."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+def customers_without_orders(sf_dir: str, mode: str = "broadcast") -> pd.DataFrame:
+    """ANTI-join of customers against orders-with-status-'P' keys.
 
-    t = pq.read_table(f"{sf_dir}/orders.parquet",
-                      columns=["o_custkey", "o_orderstatus"])
-    keys = t.filter(pc.equal(t["o_orderstatus"], "P"))["o_custkey"]
-    keyset = pa.array(sorted(set(keys.to_pylist())), type=pa.int64())
-    ref = ray.put(keyset)
+    mode="broadcast" (small-key-side fast path): the fact side streams
+    through a DISTRIBUTED pruned scan — each batch filters + ``pc.unique``s
+    its keys, only per-block distincts reach the driver, which merges
+    them into one Arrow key set shipped once via ``ray.put``; customers
+    then stream through a vectorized membership filter. No shuffle, and
+    no driver-side read of the fact table (the driver holds only the
+    distinct key set — here bounded by #customers).
 
-    def anti_filter(batch: pa.Table) -> pa.Table:
-        hit = pc.is_in(batch["c_custkey"].cast(pa.int64()),
-                       value_set=_cached_ref(ref))
-        return batch.filter(pc.invert(hit))
+    mode="join" (100 TB path, key set outgrows a broadcast): routes
+    through ``dedup.semi_join_filter(anti=True)`` — a hash-partitioned
+    ``Dataset.join`` with zero driver state. Identical output
+    (pytest-pinned equivalence)."""
+    orders = read_parquet_small(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_orderstatus"])
 
-    ds = read_parquet_small(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_mktsegment"])
-    df = ds.map_batches(anti_filter, batch_format="pyarrow",
-                        batch_size=65536).to_pandas()
+    def p_keys(batch: pa.Table) -> pa.Table:
+        keys = batch.filter(
+            pc.equal(batch["o_orderstatus"], "P"))["o_custkey"]
+        return pa.table({"o_custkey": pc.unique(keys.cast(pa.int64()))})
+
+    keys_ds = orders.map_batches(p_keys, batch_format="pyarrow",
+                                 batch_size=65536, zero_copy_batch=True)
+
+    if mode == "join":
+        from .dedup import semi_join_filter
+
+        cust = read_parquet_small(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment"]).map_batches(
+                lambda t: t.set_column(
+                    t.schema.get_field_index("c_custkey"), "c_custkey",
+                    t["c_custkey"].cast(pa.int64())),
+                batch_format="pyarrow", batch_size=65536)
+        keys_ds = keys_ds.rename_columns({"o_custkey": "c_custkey"})
+        df = semi_join_filter(cust, keys_ds, "c_custkey",
+                              anti=True).to_pandas()
+    else:
+        parts = [b["o_custkey"].to_numpy(zero_copy_only=False)
+                 for b in keys_ds.iter_batches(batch_size=65536,
+                                               batch_format="pyarrow")
+                 if b.num_rows]
+        merged = (np.unique(np.concatenate(parts)) if parts
+                  else np.empty(0, dtype=np.int64))
+        ref = ray.put(pa.array(merged, type=pa.int64()))
+
+        def anti_filter(batch: pa.Table) -> pa.Table:
+            hit = pc.is_in(batch["c_custkey"].cast(pa.int64()),
+                           value_set=_cached_ref(ref))
+            return batch.filter(pc.invert(hit))
+
+        ds = read_parquet_small(f"{sf_dir}/customer.parquet",
+                                columns=["c_custkey", "c_mktsegment"])
+        df = ds.map_batches(anti_filter, batch_format="pyarrow",
+                            batch_size=65536).to_pandas()
     if df.empty:
         return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
                              "c_mktsegment": pd.Series(dtype="object")})
     df["c_custkey"] = df["c_custkey"].astype("int64")
-    return df.sort_values("c_custkey").reset_index(drop=True)
+    return (df[["c_custkey", "c_mktsegment"]]
+            .sort_values("c_custkey").reset_index(drop=True))
 
 
 def session_windows(sf_dir: str, gap_minutes: int = 30,

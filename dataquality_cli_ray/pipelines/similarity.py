@@ -20,9 +20,11 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..functions.arrays import list_col_to_matrix
+
 
 def _as_matrix(col) -> np.ndarray:
-    m = np.stack(col.to_pylist()).astype(np.float64)
+    m = list_col_to_matrix(col, dtype=np.float64)  # zero-copy from Arrow
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
@@ -188,17 +190,35 @@ def ivf_centroids(
 ) -> np.ndarray:
     """Deterministic distributed Lloyd k-means over the embedding column.
 
-    Init = the ``n_cells`` vectors with the smallest ids (no RNG). Each
-    iteration is one streaming pass: every batch emits per-cell
-    (sum, count) PARTIALS (a (C, D+1) matrix — the combiner), reduced on
-    the driver in deterministic block order; only C×(D+1) floats ever
-    leave a worker per batch, the dataset streams. Empty cells keep
-    their previous centroid. Deterministic given a fixed input layout
-    (seeded fixture + fixed block plan): per-block float sums use a
-    fixed reduction order, blocks reduce in index order.
+    Init = the ``n_cells`` vectors with the smallest ids (no RNG),
+    found with a per-batch local min-k + tiny driver merge — NO
+    distributed sort (the previous ``sort(id).limit(n)`` paid a full
+    all-to-all exchange to pick C rows; the candidate set here is
+    ≤ n_cells × #batches rows). Each Lloyd iteration is one streaming
+    pass: every batch emits per-cell (sum, count) PARTIALS (a (C, D+1)
+    matrix — the combiner), reduced on the driver in deterministic
+    block order; only C×(D+1) floats ever leave a worker per batch, the
+    dataset streams. Empty cells keep their previous centroid.
+    Deterministic given a fixed input layout (seeded fixture + fixed
+    block plan): per-block float sums use a fixed reduction order,
+    blocks reduce in index order.
     """
-    first = ds.select_columns([id_col, vec_col]).sort(id_col).limit(n_cells)
-    C = np.stack(first.to_pandas()[vec_col].to_numpy()).astype(np.float64)
+    def local_min_ids(batch: pa.Table) -> pa.Table:
+        kk = min(n_cells, batch.num_rows)
+        ids_b = batch[id_col].to_numpy(zero_copy_only=False)
+        top = np.sort(np.argsort(ids_b, kind="stable")[:kk])
+        return batch.take(pa.array(top))
+
+    ids_l, vec_l = [], []
+    for b in ds.select_columns([id_col, vec_col]).map_batches(
+            local_min_ids, batch_format="pyarrow", batch_size=65536
+    ).iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows:
+            ids_l.append(b[id_col].to_numpy(zero_copy_only=False))
+            vec_l.append(list_col_to_matrix(b[vec_col]))
+    ids = np.concatenate(ids_l)
+    order = np.argsort(ids, kind="stable")[:n_cells]
+    C = np.vstack(vec_l)[order].astype(np.float64)
     C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
     for _ in range(iters):
@@ -221,7 +241,7 @@ def ivf_centroids(
                 partial, batch_format="pyarrow", batch_size=4096
         ).iter_batches(batch_size=n_cells, batch_format="pyarrow"):
             cells = b["cell"].to_numpy(zero_copy_only=False)
-            acc[cells] += np.stack(b["part"].to_pylist())
+            acc[cells] += list_col_to_matrix(b["part"])
         nz = acc[:, -1] > 0
         C = C.copy()
         C[nz] = acc[nz, :-1] / acc[nz, -1][:, None]

@@ -242,3 +242,47 @@ def test_ivf_centroids_deterministic(ray_session):
     c1 = SIM.ivf_centroids(ds, 8, iters=3)
     c2 = SIM.ivf_centroids(ds, 8, iters=3)
     assert np.array_equal(c1, c2)
+
+
+def test_verify_pairs_join_matches_broadcast(ray_session):
+    """The bucketed-join verify fallback produces exactly the broadcast
+    path's (id_a, id_b, est, jaccard) rows."""
+    df = _near_dup_corpus(n_base=20)
+    ds = rd_mod.from_pandas(df)
+    pairs = DD.minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.6)
+    pairs = pairs.materialize()
+    cols = ["id_a", "id_b", "est_jaccard", "jaccard"]
+    bc = (DD.verify_pairs_exact_jaccard(pairs, ds, "text", "doc_id",
+                                        threshold=0.6, mode="broadcast")
+          .to_pandas()[cols].sort_values(["id_a", "id_b"])
+          .reset_index(drop=True))
+    jn = (DD.verify_pairs_exact_jaccard(pairs, ds, "text", "doc_id",
+                                        threshold=0.6, mode="join")
+          .to_pandas()[cols].sort_values(["id_a", "id_b"])
+          .reset_index(drop=True))
+    pd.testing.assert_frame_equal(bc, jn)
+    assert len(bc) > 0
+
+
+def test_stable_hash64_array_vectorized():
+    """Arrow-buffer path == sequence path; nulls -> 0; no collisions on
+    a 100k-string corpus; sliced/chunked arrays handled."""
+    from dataquality_cli_ray.functions.hashing import stable_hash64_array
+
+    texts = ["hello", "", None, "a", "aa", "héllo wörld", "x" * 9000]
+    a1 = stable_hash64_array(texts)
+    a2 = stable_hash64_array(pa.array(texts, type=pa.string()))
+    assert np.array_equal(a1, a2)
+    assert a1[2] == 0 and a1[1] != 0
+    assert len(set(a1.tolist())) == len(texts)
+    sl = pa.array(["aa", "bb", "cc", "dd"]).slice(1, 2)
+    assert np.array_equal(stable_hash64_array(sl),
+                          stable_hash64_array(["bb", "cc"]))
+    ch = pa.chunked_array([pa.array(["bb"]), pa.array(["cc", "dd"])])
+    assert np.array_equal(stable_hash64_array(ch),
+                          stable_hash64_array(["bb", "cc", "dd"]))
+    rng = np.random.default_rng(0)
+    big = pa.array(["s%d_%d" % (i, rng.integers(0, 1 << 30))
+                    for i in range(100000)])
+    h = stable_hash64_array(big)
+    assert len(np.unique(h)) == len(big)

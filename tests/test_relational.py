@@ -92,3 +92,18 @@ def test_asof_matches_pandas_reference(ray_session):
     assert got["event_id"].tolist() == ref["event_id"].tolist()
     assert got["o_orderkey"].astype("int64").tolist() == \
         ref["o_orderkey"].astype("int64").tolist()
+
+
+def test_customers_without_orders_join_matches_broadcast(ray_session):
+    """The 100 TB join path (semi_join_filter anti=True) produces the
+    broadcast fast path's exact result."""
+    import os
+    sf_dir = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    if not os.path.exists(f"{sf_dir}/orders.parquet"):
+        pytest.skip("testdata not present")
+    from dataquality_cli_ray.pipelines.relational import (
+        customers_without_orders)
+    bc = customers_without_orders(sf_dir, mode="broadcast")
+    jn = customers_without_orders(sf_dir, mode="join")
+    pd.testing.assert_frame_equal(bc, jn)
+    assert len(bc) > 0
