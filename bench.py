@@ -268,11 +268,11 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     # two independent pairs with alternating leg order (8,32 then 32,8)
-    # — the round-2 campaign protocol (BASELINE.md). Efficiency is
-    # reported from the BEST pair (pairwise, not cross-leg minima:
-    # mixing legs measured in different machine windows under- or
-    # over-states the ratio on this shared host; the best pair is the
-    # cleanest single window).
+    # — the round-2 campaign protocol (BASELINE.md). The HEADLINE is the
+    # MEDIAN pair (taking the max of noisy estimates biases the reported
+    # efficiency upward); pairwise, not cross-leg minima: mixing legs
+    # measured in different machine windows under- or over-states the
+    # ratio on this shared host. All pairs are reported alongside.
     pairs = int(os.environ.get("SCALING_PAIRS", "2"))
     results = []
     for i in range(pairs):
@@ -280,7 +280,9 @@ def run_scaling() -> dict:
         legs = {ncpu: one(ncpu) for ncpu in order}
         lo, hi = legs[8], legs[32]
         results.append((lo["value"] / hi["value"] / 4.0, lo, hi))
-    eff, lo, hi = max(results, key=lambda r: r[0])
+    effs = sorted(r[0] for r in results)
+    med = effs[(len(effs) - 1) // 2]  # lower median: conservative
+    eff, lo, hi = min(results, key=lambda r: abs(r[0] - med))
     return {
         "metric": "scaling_efficiency_8_to_32_cpus",
         "sec_8": lo["value"],

@@ -639,6 +639,7 @@ def _single_read_pipeline(
     ds: "rd.Dataset", cfg: QualityConfig, decode: bool,
     langid_model: dict | None = None, ppl_model: dict | None = None,
     select_output: bool = True, batch_size: int | None = None,
+    keep_bytes: bool = False,
 ) -> "rd.Dataset":
     """ONE pass over the raw input: read → kernels fused into a single
     operator producing the compact label rows (~190 B/row — the image
@@ -646,7 +647,11 @@ def _single_read_pipeline(
     then runs over the materialized labels (no second scan of the raw
     table — at 100 TB the pruned pre-pass read is the expensive part);
     finally a cheap mark+finalize pass over the label blocks. Output is
-    row-identical to the staged mode (same combiner/decision)."""
+    row-identical to the staged mode (same combiner/decision).
+
+    ``keep_bytes=True`` (pass-through sinks) carries the payload column
+    through the materialized label table — single mode then pays object
+    store for the full payload; staged mode is the better fit there."""
     if langid_model is None or ppl_model is None:
         lm, pm = build_models()
         langid_model = langid_model or lm
@@ -657,7 +662,7 @@ def _single_read_pipeline(
         _fused_task_fn,
         fn_kwargs={"cfg": cfg, "langid_ref": langid_ref,
                    "ppl_ref": ppl_ref, "decode": decode,
-                   "keep_bytes": False},
+                   "keep_bytes": keep_bytes},
         batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     ).materialize()

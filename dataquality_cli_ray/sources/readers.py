@@ -227,8 +227,19 @@ def read_parquet_small(path, columns: list[str] | None = None,
     if "override_num_blocks" not in kw and all(_is_local_path(p) for p in paths):
         try:
             import pyarrow.parquet as pq
-            rows = sum(pq.ParquetFile(str(p)).metadata.num_rows
-                       for p in paths)
+            # expand directory inputs (fixture generators return dirs)
+            # so the footer row probe applies to them too
+            files = []
+            for p in paths:
+                sp = str(p)
+                if os.path.isdir(sp):
+                    files.extend(sorted(
+                        os.path.join(sp, f) for f in os.listdir(sp)
+                        if f.endswith(".parquet")))
+                else:
+                    files.append(sp)
+            rows = sum(pq.ParquetFile(f).metadata.num_rows
+                       for f in files)
             kw["override_num_blocks"] = max(
                 1, min(max_blocks,
                        (rows + rows_per_block - 1) // rows_per_block))

@@ -102,8 +102,12 @@ class DecodeImageStage:
             meta_ok = np.ones(len(io), dtype=bool)
             if self.validate_meta and "w" in batch.column_names:
                 wc, hc = batch["w"], batch["h"]
+                # or-of-validity: a row with ANY non-null meta field is
+                # checkable; its null field (filled with -1 below) can
+                # never equal a decoded dimension, so it flags a
+                # mismatch rather than silently passing
                 have = np.asarray(
-                    pa.compute.and_(wc.is_valid(), hc.is_valid()),
+                    pa.compute.or_(wc.is_valid(), hc.is_valid()),
                     dtype=bool)
                 wm = np.asarray(wc.cast(pa.int64()).fill_null(-1))
                 hm = np.asarray(hc.cast(pa.int64()).fill_null(-1))
@@ -131,6 +135,8 @@ class DecodeImageStage:
             # slice assignment is a plain memcpy per row
             buf = _SCRATCH.get(hw3)
             if buf is None or buf.shape[0] < k:
+                if len(_SCRATCH) >= 16:   # bound worker memory across
+                    _SCRATCH.clear()      # many distinct image shapes
                 buf = np.empty((k, hw3), dtype=np.uint8)
                 _SCRATCH[hw3] = buf
             flat = buf[:k]

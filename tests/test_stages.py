@@ -90,6 +90,20 @@ def test_decode_stage_meta_mismatch():
     assert out["rule_decode_error"].to_pylist() == [True]
 
 
+def test_decode_stage_meta_one_null_is_mismatch():
+    """Or-of-validity: a row with exactly ONE null meta field is still
+    checkable — the null side counts as a mismatch; only both-null rows
+    skip the meta check."""
+    good = IF.encode_image(_img(8, 8), "png")
+    batch = pa.table({
+        "bytes": pa.array([good, good, good], type=pa.binary()),
+        "w": pa.array([8, None, None], type=pa.int32()),
+        "h": pa.array([None, 8, None], type=pa.int32()),
+    })
+    out = DecodeImageStage()(batch)
+    assert out["rule_decode_error"].to_pylist() == [True, True, False]
+
+
 def test_resize_stage():
     good = IF.encode_image(_img(16, 16), "jpeg")
     batch = pa.table({"bytes": pa.array([good, b"bad"], type=pa.binary()),
