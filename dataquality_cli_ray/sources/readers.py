@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
+import ray
 import ray.data as rd
 
 
@@ -95,24 +96,62 @@ def validate_utf8(data: bytes) -> bool:
 
 
 def read_csv_auto(paths: str | list[str], tolerate_ragged: bool = True,
-                  **kw) -> "rd.Dataset":
+                  ragged: str = "skip", **kw) -> "rd.Dataset":
     """CSV → Dataset with sniffed delimiter and permissive parsing.
 
-    Ragged-row semantics differ from the reference by necessity: the
-    reference keeps short/long rows, ignoring extra fields
-    (``adaptive_streaming_engine.go:199-202``, ``FieldsPerRecord=-1``);
-    Arrow's CSV reader can only SKIP invalid rows — documented
-    divergence (skipped rows are dropped, not truncated)."""
+    Ragged-row handling:
+
+    - ``ragged="skip"`` (default): Arrow's chunked CSV reader; invalid
+      rows are DROPPED (Arrow cannot repair them in-stream).
+    - ``ragged="truncate"``: the reference's tolerate semantics
+      (``adaptive_streaming_engine.go:199-202`` ``FieldsPerRecord=-1``
+      keeps short/long rows) — rows with extra fields are truncated to
+      the header width, short rows padded with nulls; every data line
+      survives. One Ray task per file (the dirty-CSV profile path; the
+      strict path keeps Arrow's chunked reads)."""
     from pyarrow import csv as pacsv
 
     first = paths[0] if isinstance(paths, list) else paths
     with open(first, "rb") as f:
         delim = detect_delimiter(f.read(64 * 1024))
+    if ragged == "truncate":
+        plist = list(paths) if isinstance(paths, (list, tuple)) else [paths]
+        refs = [_read_csv_truncate_task.remote(p, delim) for p in plist]
+        return rd.from_arrow_refs(refs)
     popts = {"delimiter": delim}
     if tolerate_ragged:
         popts["invalid_row_handler"] = lambda row: "skip"
     parse_options = pacsv.ParseOptions(**popts)
     return rd.read_csv(paths, parse_options=parse_options, **kw)
+
+
+def _read_csv_truncate_table(path: str, delim: str) -> "pa.Table":
+    """One file → Arrow table with reference tolerate semantics: extra
+    fields ignored, short rows null-padded (pandas ``on_bad_lines``
+    callable is invoked only for too-MANY-field rows; too-few rows are
+    NaN-padded natively)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    with open(path, encoding="utf-8", errors="replace") as f:
+        header = f.readline().rstrip("\r\n").split(delim)
+    ncols = len(header)
+    import warnings
+
+    with warnings.catch_warnings():
+        # pandas warns that extra fields are dropped — that IS the
+        # requested truncate semantics
+        warnings.simplefilter("ignore")
+        df = pd.read_csv(
+            path, sep=delim, engine="python", index_col=False,
+            on_bad_lines=lambda row: row[:ncols],
+        )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+@ray.remote
+def _read_csv_truncate_task(path: str, delim: str):
+    return _read_csv_truncate_table(path, delim)
 
 
 def read_table(path: str, columns: list[str] | None = None, **kw) -> "rd.Dataset":

@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..functions import imagecodec as IC
 from ..functions import imagefake as IF
 
 # per-worker scratch for DecodeImageStage's same-shape payload blocks,
@@ -174,6 +175,36 @@ class DecodeImageStage:
             # silently goes through float64 and loses low bits
             ahash[idxs] = (bits.astype(np.uint64) * IF._AHASH_POW2[None, :]
                            ).sum(axis=1).view(np.int64)
+        # real-codec fallback (import-gated like the Lance reader): rows
+        # the FIMG header parse rejected get one try through Pillow when
+        # it's importable — absent in this sandbox, so the branch is a
+        # no-op here; feature math mirrors the batched kernels exactly
+        if IC.HAVE_PIL:
+            for i in np.flatnonzero(
+                    notnull & np.array([e is not None for e in err])):
+                blob = data[start[i]: start[i] + lens[i]].tobytes()
+                try:
+                    arr, _fmt = IC.decode_rgb(blob)
+                except Exception:
+                    continue
+                hh, ww = arr.shape[:2]
+                if self.validate_meta and "w" in batch.column_names:
+                    wv, hv = batch["w"][i].as_py(), batch["h"][i].as_py()
+                    if (wv is not None or hv is not None) and (
+                            wv != ww or hv != hh):
+                        err[i] = (f"meta {-1 if wv is None else wv}x"
+                                  f"{-1 if hv is None else hv}"
+                                  f" != decoded {ww}x{hh}")
+                        continue
+                flat_i = arr.reshape(-1).astype(np.int64)
+                npix_i = flat_i.size
+                mu_i = flat_i.sum() / npix_i
+                var_i = (flat_i * flat_i).sum() / npix_i - mu_i * mu_i
+                dec_w[i], dec_h[i] = ww, hh
+                bright[i] = mu_i
+                contrast[i] = np.sqrt(max(var_i, 0.0))
+                ahash[i] = IF.average_hash64(arr)
+                err[i] = None
         bad = np.array([e is not None for e in err])
         out = batch.append_column("rule_decode_error", pa.array(bad))
         out = out.append_column("decode_err", pa.array(err, type=pa.string()))
@@ -200,8 +231,10 @@ class ResizeImageStage:
         out = []
         for blob in data:
             try:
-                arr, fmt = IF.decode_image(blob)
-                out.append(IF.encode_image(
+                # codec dispatch: FIMG always; real formats when Pillow
+                # is importable (imagecodec.HAVE_PIL)
+                arr, fmt = IC.decode_rgb(blob)
+                out.append(IC.encode_rgb(
                     IF.resize_nearest(arr, self.out_w, self.out_h), fmt))
             except Exception:
                 out.append(None)

@@ -212,3 +212,53 @@ def test_read_parquet_small_blocks(ray_session, tmp_path):
     assert read_parquet_small(p2).materialize().num_blocks() == 1
     ds3 = read_parquet_small(p, override_num_blocks=2)
     assert ds3.materialize().num_blocks() == 2
+
+
+def test_read_csv_ragged_truncate(ray_session, tmp_path):
+    """ragged="truncate" keeps every data line (reference tolerate
+    semantics, FieldsPerRecord=-1): extra fields ignored, short rows
+    null-padded — the reference's own 1.csv shape profiles to the same
+    row count the Go engine reports."""
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,name\n"
+                 "1,foo\n"
+                 "2,bar,EXTRA,MORE\n"   # too many fields -> truncated
+                 "3\n"                  # too few -> padded with null
+                 "4,baz\n")
+    ds = read_csv_auto(str(p), ragged="truncate")
+    df = ds.to_pandas()
+    assert len(df) == 4                      # every data line survives
+    assert list(df.columns) == ["id", "name"]
+    assert df["name"].isna().sum() == 1      # padded short row
+    assert set(df["id"].astype(int)) == {1, 2, 3, 4}
+    # skip mode on the same file drops the ragged rows
+    ds2 = read_csv_auto(str(p), ragged="skip")
+    assert len(ds2.to_pandas()) == 2
+
+
+def test_codec_dispatch_fake_and_gate():
+    """decode_rgb routes FIMG blobs through the fake codec with or
+    without Pillow; encode_rgb round-trips; non-FIMG bytes raise when
+    no real codec is available."""
+    import numpy as np
+    import pytest as _pytest
+    from dataquality_cli_ray.functions import imagecodec as IC
+    from dataquality_cli_ray.functions import imagefake as IF
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    blob = IC.encode_rgb(img, "png")
+    arr, fmt = IC.decode_rgb(blob)
+    assert fmt == "png" and np.array_equal(arr, img)
+    if not IC.HAVE_PIL:
+        with _pytest.raises(IF.CorruptImageError):
+            IC.decode_rgb(b"\x89PNG\r\n\x1a\nnotreally")
+        with _pytest.raises(ValueError):
+            IC.encode_rgb(img, "tiff")
+    else:  # real-lib branch: a real PNG must decode losslessly
+        import io
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        arr2, fmt2 = IC.decode_rgb(buf.getvalue())
+        assert fmt2 == "png" and np.array_equal(arr2, img)
