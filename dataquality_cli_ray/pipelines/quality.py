@@ -80,22 +80,14 @@ DUP_PARTITIONS = 32
 
 
 def _parquet_rows(path: str) -> tuple[int, int]:
-    """(total rows, file count) from parquet footers (metadata only)."""
-    import os
+    """(total rows, file count) from parquet footers (metadata only).
 
-    import pyarrow.parquet as pq
+    Delegates to :func:`..sources.readers.parquet_footer_rows`, which
+    reads footers with a thread pool AND seeds the shared footer cache
+    so the pipeline's subsequent reads plan without re-reading them."""
+    from ..sources.readers import parquet_footer_rows
 
-    total = nfiles = 0
-    if os.path.isdir(path):
-        for root, _, files in os.walk(path):
-            for f in files:
-                if f.endswith(".parquet"):
-                    total += pq.read_metadata(os.path.join(root, f)).num_rows
-                    nfiles += 1
-    else:
-        total = pq.read_metadata(path).num_rows
-        nfiles = 1
-    return total, nfiles
+    return parquet_footer_rows(path)
 
 
 def _ray_cpus() -> int:

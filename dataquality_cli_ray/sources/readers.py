@@ -234,6 +234,63 @@ def _is_local_path(path) -> bool:
     return "://" not in p or p.startswith("file://") or p.startswith("local://")
 
 
+def parquet_footer_rows(path: str) -> tuple[int, int]:
+    """(total rows, file count) for a local parquet file/dir from footers
+    ONLY — and seed the ``read_parquet_fast`` footer cache with every
+    footer read, so the subsequent Dataset read's metadata prefetch is a
+    pure cache hit (the footer is otherwise read twice per pipeline:
+    once for the row probe, once at plan time).
+
+    Footers are fetched with a small thread pool: pyarrow releases the
+    GIL during file I/O, and a many-file table (the bounded-file-size
+    layout the fused read wants) pays one open+parse per file.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    files: list[str] = []
+    if os.path.isdir(path):
+        for root, _, names in os.walk(path):
+            files.extend(os.path.join(root, f) for f in names
+                         if f.endswith(".parquet"))
+    else:
+        files.append(path)
+    if not files:
+        return 0, 0
+
+    cache = _LocalFooterMetadataProvider._cache
+    meta_cls_holder = {}
+
+    def one(f: str):
+        try:
+            st = os.stat(f)
+            key = (f, st.st_mtime_ns, st.st_size)
+        except OSError:
+            key = None
+        if key is not None and key in cache:
+            return cache[key].num_rows
+        md = pq.read_metadata(f)
+        if key is not None:
+            cls = meta_cls_holder.get("cls")
+            if cls is None:
+                from ray.data.datasource.parquet_meta_provider import (
+                    _ParquetFileFragmentMetaData,
+                )
+                cls = meta_cls_holder["cls"] = _ParquetFileFragmentMetaData
+            if len(cache) > 65536:
+                cache.clear()
+            cache[key] = cls(md)
+        return md.num_rows
+
+    if len(files) <= 4:
+        rows = [one(f) for f in files]
+    else:
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            rows = list(ex.map(one, files))
+    return sum(rows), len(files)
+
+
 def read_parquet_fast(path, columns: list[str] | None = None,
                       **kw) -> "rd.Dataset":
     """``rd.read_parquet`` with in-process footer prefetch on local
