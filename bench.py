@@ -232,15 +232,43 @@ def run_scaling() -> dict:
                 while fh.read(1 << 24):
                     pass
 
-    def wait_quiet(max_wait: float = 60.0) -> None:
+    def cpu_stat() -> list[int]:
+        with open("/proc/stat") as fh:
+            return list(map(int, fh.readline().split()[1:]))
+
+    def steal_probe(dt: float = 1.5) -> float:
+        # This box is a VM on a shared hypervisor: the co-tenant runs
+        # OUTSIDE the VM, so in-VM busy-CPU sampling reads idle even
+        # while the hypervisor is descheduling our vCPUs. Steal time
+        # (/proc/stat field 8) only accrues while we DEMAND cpu, so the
+        # probe spins every core briefly and reads the steal share —
+        # the direct measure of whether a benchmark leg would get the
+        # machine it asks for.
+        import multiprocessing as mp
+
+        def spin(stop: float) -> None:
+            while time.time() < stop:
+                pass
+
+        s0 = cpu_stat()
+        stop = time.time() + dt
+        ps = [mp.Process(target=spin, args=(stop,))
+              for _ in range(os.cpu_count() or 32)]
+        for p in ps:
+            p.start()
+        for p in ps:
+            p.join()
+        d = [b - a for a, b in zip(s0, cpu_stat())]
+        return d[7] / max(1, sum(d)) * 100.0
+
+    def wait_quiet(max_wait: float = 120.0) -> float:
         # gate each leg on actual busy CPUs (loadavg decays for minutes
         # after a run ends — CLAUDE.md): sample /proc/stat over 2 s and
-        # proceed once < 2 cores are busy or the timeout expires
+        # proceed once < 2 cores are busy or the timeout expires; then
+        # require hypervisor steal < 3 % under a full-width spin probe
         def busy_cpus(dt: float = 2.0) -> float:
             def snap():
-                with open("/proc/stat") as fh:
-                    f = fh.readline().split()
-                vals = list(map(int, f[1:]))
+                vals = cpu_stat()
                 return sum(vals) - vals[3] - vals[4], sum(vals)
             b0, t0 = snap()
             time.sleep(dt)
@@ -250,22 +278,42 @@ def run_scaling() -> dict:
         deadline = time.time() + max_wait
         while time.time() < deadline and busy_cpus() >= 2.0:
             time.sleep(2)
+        st = steal_probe()
+        while time.time() < deadline and st >= 3.0:
+            time.sleep(8)
+            st = steal_probe()
+        return st
+
+    # a leg whose in-run steal share exceeds this was robbed by the
+    # hypervisor co-tenant mid-run: re-run it (bounded retries)
+    steal_limit = float(os.environ.get("SCALING_STEAL_LIMIT", "4.0"))
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    BENCH_HEADLINE_ONLY="1", IMAGES_BENCH_ROWS=scaling_rows,
                    BENCH_HEADLINE_REPEAT=repeat)
         warm_page_cache()
-        wait_quiet()
         cmd = [sys.executable, os.path.abspath(__file__)]
         if os.path.exists("/usr/bin/taskset"):
             cmd = ["/usr/bin/taskset", "-c", f"0-{ncpu - 1}"] + cmd
-        out = subprocess.run(
-            cmd,
-            env=env, capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        best = None
+        for attempt in range(3):
+            gate_steal = wait_quiet()
+            s0 = cpu_stat()
+            out = subprocess.run(
+                cmd,
+                env=env, capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            d = [b - a for a, b in zip(s0, cpu_stat())]
+            leg = json.loads(out.strip().splitlines()[-1])
+            leg["steal_pct"] = round(d[7] / max(1, sum(d)) * 100.0, 2)
+            leg["gate_steal_pct"] = round(gate_steal, 2)
+            if best is None or leg["value"] < best["value"]:
+                best = leg
+            if leg["steal_pct"] < steal_limit:
+                break
+        return best
 
     # two independent pairs with alternating leg order (8,32 then 32,8)
     # — the round-2 campaign protocol (BASELINE.md). The HEADLINE is the
@@ -280,9 +328,20 @@ def run_scaling() -> dict:
         legs = {ncpu: one(ncpu) for ncpu in order}
         lo, hi = legs[8], legs[32]
         results.append((lo["value"] / hi["value"] / 4.0, lo, hi))
-    effs = sorted(r[0] for r in results)
-    med = effs[(len(effs) - 1) // 2]  # lower median: conservative
-    eff, lo, hi = min(results, key=lambda r: abs(r[0] - med))
+
+    def pick_median(rs):
+        effs = sorted(r[0] for r in rs)
+        med = effs[(len(effs) - 1) // 2]  # lower median: conservative
+        return min(rs, key=lambda r: abs(r[0] - med))
+
+    # headline = median over pairs whose BOTH legs ran with in-run
+    # hypervisor steal under the limit (windows where the co-tenant
+    # robbed a leg measure the hypervisor, not the pipeline); if no
+    # pair is clean, fall back to the median over all pairs
+    clean = [r for r in results
+             if r[1]["steal_pct"] < steal_limit
+             and r[2]["steal_pct"] < steal_limit]
+    eff, lo, hi = pick_median(clean or results)
     return {
         "metric": "scaling_efficiency_8_to_32_cpus",
         "sec_8": lo["value"],
@@ -291,9 +350,12 @@ def run_scaling() -> dict:
         "images_per_sec_32": hi["images_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "images_bench_rows": lo["images_bench_rows"],
+        "clean_pairs": len(clean),
         "pairs": [
             {"sec_8": l["value"], "sec_32": h["value"],
-             "efficiency": round(e, 3)} for e, l, h in results],
+             "efficiency": round(e, 3),
+             "steal_pct_8": l.get("steal_pct"),
+             "steal_pct_32": h.get("steal_pct")} for e, l, h in results],
     }
 
 

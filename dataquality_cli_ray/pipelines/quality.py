@@ -149,19 +149,35 @@ def _dup_partition_ids(ph_arr: "pa.ChunkedArray | pa.Array",
 
 
 @ray.remote
-def _dup_count_split_task(P: int, *tables: pa.Table) -> list[pa.Table]:
+def _dup_count_split_task(P: int, key_col: str,
+                          *tables: pa.Table) -> list[pa.Table]:
     """Round 1, stage A of the partitioned dup reduce: ship ONLY the
     int columns (phash, cnt) — ~94 % of keys are global singletons, so
     exchanging the winner STRING for every key was over half the bytes
     and made the local group_by aggregate strings. Partitioning is one
     argsort + one take + P zero-copy slices (P filter passes over the
-    table was the other measured cost)."""
-    t = pa.concat_tables([x.select(["phash", "cnt"]) for x in tables])
+    table was the other measured cost).
+
+    Accepts either combiner outputs (key, winner, cnt) or RAW blocks
+    (any table containing key_col): raw blocks are counted inline,
+    which lets single-scan mode feed the reduce its already-
+    materialized label blocks with NO extra Dataset pass (a per-block
+    combiner pass over B blocks costs B task launches; this folds it
+    into the B/8 split tasks that run anyway)."""
+    norm = []
+    for x in tables:
+        if "cnt" in x.column_names:
+            norm.append(x.select([key_col, "cnt"]))
+        else:
+            g = x.select([key_col]).group_by(key_col).aggregate(
+                [(key_col, "count")])
+            norm.append(g.rename_columns([key_col, "cnt"]))
+    t = pa.concat_tables(norm)
     if t.num_rows == 0:
         return [t] * P
-    g = t.group_by("phash").aggregate([("cnt", "sum")])
-    t = g.rename_columns(["phash", "cnt"])
-    part = _dup_partition_ids(t["phash"], P)
+    g = t.group_by(key_col).aggregate([("cnt", "sum")])
+    t = g.rename_columns([key_col, "cnt"])
+    part = _dup_partition_ids(t[key_col], P)
     order = np.argsort(part, kind="stable")
     t = t.take(pa.array(order))
     bounds = np.searchsorted(part[order], np.arange(P + 1))
@@ -170,45 +186,90 @@ def _dup_count_split_task(P: int, *tables: pa.Table) -> list[pa.Table]:
 
 
 @ray.remote
-def _dup_count_merge_task(*parts: pa.Table) -> np.ndarray:
+def _dup_count_merge_task(key_col: str, *parts: pa.Table) -> np.ndarray:
     """Round 1, stage B: one partition's global counts → the partition's
     DUP KEYS ONLY (int64 array, O(dups))."""
     t = pa.concat_tables(parts)
     if t.num_rows == 0:
         return np.empty(0, dtype=np.int64)
-    g = t.group_by("phash").aggregate([("cnt", "sum")])
+    g = t.group_by(key_col).aggregate([("cnt", "sum")])
     g = g.filter(pc.greater(g["cnt_sum"], 1))
-    return g["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return g[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
 
 
 @ray.remote
-def _dup_winner_task(keys_ref, *tables: pa.Table) -> pa.Table:
-    """Round 2: filter a group of combiner blocks to the broadcast dup
-    keys (sorted searchsorted membership) and return their (phash,
-    winner) rows — O(duplicate rows), the only strings that move."""
+def _dup_winner_task(keys_ref, key_col: str, id_col: str,
+                     *tables: pa.Table) -> pa.Table:
+    """Round 2: filter a group of combiner (or raw) blocks to the
+    broadcast dup keys (sorted searchsorted membership) and return
+    their per-task min-winner (key, winner) rows — O(duplicate keys),
+    the only strings that move."""
     keys = ray.get(keys_ref) if hasattr(keys_ref, "hex") else keys_ref
     out = []
     for t in tables:
         if t.num_rows == 0 or len(keys) == 0:
             continue
-        ph = t["phash"].to_numpy(zero_copy_only=False)
+        wcol = "winner" if "winner" in t.column_names else id_col
+        ph = t[key_col].to_numpy(zero_copy_only=False)
         idx = np.clip(np.searchsorted(keys, ph), 0, len(keys) - 1)
         mask = keys[idx] == ph
         if mask.any():
-            out.append(t.select(["phash", "winner"]).filter(pa.array(mask)))
+            f = t.select([key_col, wcol]).filter(pa.array(mask))
+            out.append(f.rename_columns([key_col, "winner"]))
     if not out:
-        return pa.table({"phash": pa.array([], type=pa.int64()),
+        return pa.table({key_col: pa.array([], type=pa.int64()),
                          "winner": pa.array([], type=pa.string())})
-    return pa.concat_tables(out)
+    t = pa.concat_tables(out)
+    # per-task min: bounds the merge's input to O(dup keys) per task
+    # even when raw blocks carry every duplicate ROW (hot-key clusters)
+    g = t.group_by(key_col).aggregate([("winner", "min")])
+    return g.rename_columns([key_col, "winner"])
 
 
 @ray.remote
-def _dup_winner_merge(*parts: pa.Table) -> dict:
+def _dup_winner_merge(key_col: str, *parts: pa.Table) -> dict:
     t = pa.concat_tables(parts)
     if t.num_rows == 0:
         return {}
-    g = t.group_by("phash").aggregate([("winner", "min")])
-    return dict(zip(g["phash"].to_pylist(), g["winner_min"].to_pylist()))
+    g = t.group_by(key_col).aggregate([("winner", "min")])
+    return dict(zip(g[key_col].to_pylist(), g["winner_min"].to_pylist()))
+
+
+def dup_losers_from_refs(refs: list, key_col: str = "phash",
+                         id_col: str = "image_id",
+                         P: int = DUP_PARTITIONS) -> dict[int, str]:
+    """The two-round partitioned dup reduce fed DIRECTLY by block
+    ObjectRefs — no Ray Data plan at all. Single-scan mode uses this
+    over its already-materialized label blocks: the per-block combine
+    happens inside the ~B/8 split tasks instead of a B-task Dataset
+    combiner pass (B is large for label blocks — one per input file).
+
+    Identical output to phash_dup_losers (pinned by
+    test_dup_loser_modes_identical)."""
+    P = max(2, P)
+    if not refs:
+        return {}
+    group = 8
+    split_outs = []
+    for i in range(0, len(refs), group):
+        split_outs.append(
+            _dup_count_split_task.options(num_returns=P).remote(
+                P, key_col, *refs[i : i + group]))
+    key_parts = ray.get([
+        _dup_count_merge_task.remote(key_col, *[s[p] for s in split_outs])
+        for p in range(P)
+    ])
+    dup_keys = np.sort(np.concatenate(key_parts)) if key_parts else \
+        np.empty(0, dtype=np.int64)
+    if len(dup_keys) == 0:
+        return {}
+    keys_ref = ray.put(dup_keys)
+    winner_parts = [
+        _dup_winner_task.remote(keys_ref, key_col, id_col,
+                                *refs[i : i + group])
+        for i in range(0, len(refs), group)
+    ]
+    return ray.get(_dup_winner_merge.remote(key_col, *winner_parts))
 
 
 def _dup_losers_partitioned(combined: "rd.Dataset",
@@ -227,35 +288,14 @@ def _dup_losers_partitioned(combined: "rd.Dataset",
 
     No driver-side state proportional to distinct keys: the driver only
     touches block refs, the dup-key array and the final dup-loser map
-    (all O(actual duplicates)). Scales with CPUs at every stage."""
-    # P >= 2 always: with num_returns=1 Ray would hand the merge task
-    # the whole returned LIST instead of unpacking it per partition
-    P = max(2, P)
-    refs = combined.to_arrow_refs()
-    if not refs:
-        return {}
-    # ~1 split task per ~8 blocks: big enough for local re-combining to
-    # shrink repeats, small enough to fan across the cluster
-    group = 8
-    split_outs = []
-    for i in range(0, len(refs), group):
-        split_outs.append(
-            _dup_count_split_task.options(num_returns=P).remote(
-                P, *refs[i : i + group]))
-    key_parts = ray.get([
-        _dup_count_merge_task.remote(*[s[p] for s in split_outs])
-        for p in range(P)
-    ])
-    dup_keys = np.sort(np.concatenate(key_parts)) if key_parts else \
-        np.empty(0, dtype=np.int64)
-    if len(dup_keys) == 0:
-        return {}
-    keys_ref = ray.put(dup_keys)
-    winner_parts = [
-        _dup_winner_task.remote(keys_ref, *refs[i : i + group])
-        for i in range(0, len(refs), group)
-    ]
-    return ray.get(_dup_winner_merge.remote(*winner_parts))
+    (all O(actual duplicates)). Scales with CPUs at every stage.
+
+    (P >= 2 always — enforced in dup_losers_from_refs: with
+    num_returns=1 Ray would hand the merge task the whole returned
+    LIST instead of unpacking it per partition. ~1 split task per ~8
+    blocks: big enough for local re-combining to shrink repeats, small
+    enough to fan across the cluster.)"""
+    return dup_losers_from_refs(combined.to_arrow_refs(), P=P)
 
 
 def phash_dup_losers(proj_ds: "rd.Dataset", mode: str = "auto",
@@ -658,9 +698,17 @@ def _single_read_pipeline(
         batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     ).materialize()
-    proj = labels.select_columns([cfg.dedup_key, cfg.id_col])
-    dup_map = phash_dup_losers(proj, mode="auto",
-                               approx_rows=labels.count())
+    nrows = labels.count()
+    if nrows > DUP_SHUFFLE_THRESHOLD_ROWS:
+        # feed the partitioned reduce the materialized label blocks
+        # directly: the per-block combine runs inside the split tasks,
+        # skipping a whole B-task Dataset combiner pass (B = one block
+        # per input file — large under the fused-read layout)
+        dup_map = dup_losers_from_refs(labels.to_arrow_refs(),
+                                       cfg.dedup_key, cfg.id_col)
+    else:
+        proj = labels.select_columns([cfg.dedup_key, cfg.id_col])
+        dup_map = phash_dup_losers(proj, mode="driver", approx_rows=nrows)
     dup_ref = ray.put(dup_map)
     return labels.map_batches(
         _mark_finalize_task_fn,

@@ -119,3 +119,11 @@ def test_dup_loser_modes_identical(ray_session, images_path):
     assert len(ref) > 0          # fixture has a hot phash bucket
     assert run("partitioned") == ref
     assert run("shuffle") == ref
+
+    # refs path over RAW blocks (what single-scan mode feeds it):
+    # per-block combine happens inside the split tasks
+    from dataquality_cli_ray.pipelines.quality import dup_losers_from_refs
+
+    raw = rd.read_parquet(images_path, columns=["phash", "image_id"])
+    assert dup_losers_from_refs(raw.materialize().to_arrow_refs(),
+                                "phash", "image_id") == ref
