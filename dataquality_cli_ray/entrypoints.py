@@ -653,6 +653,59 @@ def q_docs_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
         ["id_a", "id_b"]).reset_index(drop=True)
 
 
+def sql_docs_dup_clusters(threshold: float = 0.5) -> str:
+    """Connected components over the TRUE exact-Jaccard pair list (same
+    shingle CTEs as ``sql_docs_ngram_jaccard``): recursive transitive
+    closure over the symmetric edge list, cluster id = min reachable
+    doc_id. Closure size is bounded by (cluster size)² per cluster —
+    fine at oracle scale; the Ray side is the scale path."""
+    jac = "(i::DOUBLE / (sa.n + sb.n - i))"
+    return f"""WITH RECURSIVE base AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+pad AS (
+  SELECT doc_id, CASE WHEN length(t) < 5
+                      THEN t || repeat(' ', 5 - length(t)) ELSE t END AS t
+  FROM base),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS g FROM pad),
+sh AS (SELECT DISTINCT doc_id, substr(t, g, 5) AS s FROM pos),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE {jac} >= {threshold}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+FROM reach GROUP BY a ORDER BY doc_id"""
+
+
+def q_docs_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Transitive dup-cluster assignment (SURVEY §2.7 scale extension):
+    MinHash-LSH candidates → exact-Jaccard verify (the
+    ``docs_ngram_jaccard`` pair list) → connected components via
+    ``dedup.dup_clusters`` (driver union-find below 5 M pairs,
+    distributed min-label propagation above — both value-identical).
+    cluster_id = min member doc_id, the keep-first representative."""
+    ds = read_parquet_small(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    cand = DD.minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.4)
+    pairs = DD.verify_pairs_exact_jaccard(cand, ds, "text", "doc_id",
+                                          threshold=0.5)
+    out = DD.dup_clusters(pairs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_ann_topk_lsh(sf_dir: str) -> pd.DataFrame:
     Q, qids = SIM.load_query_vectors(sf_dir, ANN_NQ)
     ds = read_parquet_small(f"{sf_dir}/embeddings.parquet")
@@ -925,6 +978,7 @@ def build_queries() -> dict:
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "docs_dup_clusters": q_docs_dup_clusters,
         "docs_winnow": q_docs_winnow,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -966,5 +1020,6 @@ def build_oracles() -> dict:
         "ann_topk": sql_ann_topk(),
         "embedding_dup_pairs": sql_embedding_dup_pairs(),
         "docs_ngram_jaccard": sql_docs_ngram_jaccard(),
+        "docs_dup_clusters": sql_docs_dup_clusters(),
         **golden_oracles(),
     }

@@ -295,6 +295,201 @@ def semi_join_filter(
     return joined.map_batches(keep, batch_format="pyarrow", batch_size=65536)
 
 
+# ------------------------------------------- connected components (CC)
+# Transitive dup-CLUSTER assignment over near-dup pairs — the step a
+# real dedup pipeline runs after pair generation (pairs (a,b),(b,c)
+# must collapse to ONE cluster so keep-first keeps exactly one doc).
+# Distributed path: iterative min-label propagation over hash-
+# partitioned edges (labels live as per-partition ObjectRefs; each
+# round is one msg exchange + one min-merge per partition; converges in
+# O(cluster diameter) rounds — near-dup clusters are shallow). The
+# driver path is a plain union-find for small pair sets.
+
+
+@ray.remote
+def _cc_concat(*parts: pa.Table) -> pa.Table:
+    return pa.concat_tables(parts)
+
+
+@ray.remote
+def _cc_init_labels(edges: pa.Table) -> pa.Table:
+    """labels(node)=node for every SOURCE node of this partition's
+    edges (edges are symmetric, so every member node appears as src in
+    exactly its own hash partition)."""
+    import pyarrow.compute as pc
+
+    nodes = pc.unique(edges["src"].combine_chunks()) if edges.num_rows \
+        else edges["src"].combine_chunks()
+    return pa.table({"node": nodes, "label": nodes})
+
+
+@ray.remote
+def _cc_msg_task(P: int, labels: pa.Table, edges: pa.Table) -> list[pa.Table]:
+    """One propagation round, send side: label(src) rides each edge to
+    dst; messages are hash-split by dst for the per-partition min."""
+    import pyarrow.compute as pc
+
+    empty = pa.table({"node": pa.array([], type=edges.schema.field("dst").type),
+                      "label": pa.array([], type=edges.schema.field("src").type)})
+    if edges.num_rows == 0 or labels.num_rows == 0:
+        return [empty] * P
+    idx = pc.index_in(edges["src"], value_set=labels["node"].combine_chunks())
+    lab = pc.take(labels["label"], idx)
+    m = pa.table({"node": edges["dst"], "label": lab})
+    part = _key_partition_ids(m["node"], P)
+    order = np.argsort(part, kind="stable")
+    m = m.take(pa.array(order))
+    bounds = np.searchsorted(part[order], np.arange(P + 1))
+    return [m.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+            for i in range(P)]
+
+
+@ray.remote(num_returns=2)
+def _cc_update_task(labels: pa.Table, *msg_parts: pa.Table):
+    """One propagation round, receive side: new label(node) = min(own,
+    incoming); returns (new labels, #changed) — the driver only ever
+    fetches the int."""
+    import pyarrow.compute as pc
+
+    live = [p for p in msg_parts if p.num_rows > 0]
+    if not live:
+        return labels, 0
+    m = pa.concat_tables(live)
+    g = pa.concat_tables([labels, m]).group_by("node").aggregate(
+        [("label", "min")])
+    g = g.rename_columns(["node", "label"])
+    idx = pc.index_in(g["node"], value_set=labels["node"].combine_chunks())
+    old = pc.take(labels["label"], idx)
+    changed = pc.sum(pc.cast(pc.not_equal(g["label"], old), pa.int64()))
+    return g, (changed.as_py() or 0)
+
+
+def _cc_driver(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """Union-find with path halving; cluster id = MIN member id (the
+    same fixpoint label propagation converges to)."""
+    nodes, codes = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = codes[: len(a)], codes[len(a):]
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(ea.tolist(), eb.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by smaller code → root is the min member, since
+            # np.unique sorted the nodes
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
+    return pa.table({
+        "doc_id": pa.array(nodes),
+        "cluster_id": pa.array(nodes[roots]),
+    })
+
+
+def dup_clusters(pairs: "rd.Dataset | pa.Table", id_a: str = "id_a",
+                 id_b: str = "id_b", mode: str = "auto",
+                 max_rounds: int = 50) -> pa.Table:
+    """Connected components over a near-dup pair list → one
+    ``(doc_id, cluster_id)`` row per clustered doc, cluster_id = min
+    member id (deterministic keep-first representative), sorted by
+    doc_id.
+
+    modes:
+    - "driver": union-find over the pulled pair columns — O(pairs)
+      driver memory, the fast path while the PAIR list (≪ corpus) fits
+      one machine.
+    - "partitioned": distributed min-label propagation — symmetric
+      edges hash-partitioned by src ONCE (pinned in the object store);
+      each round exchanges only (node, label) messages and the driver
+      sees one int per partition per round. O(cluster diameter)
+      rounds; partitioning assumption: none beyond a hash on node ids.
+    - "auto": driver below 5 M pairs, else partitioned.
+
+    Output is identical across modes (pinned by
+    ``test_dup_clusters_modes_identical``). The result is O(clustered
+    docs) on the driver — callers that expect cluster membership to
+    outgrow the driver should consume the partitioned path's label
+    refs instead (one table per partition)."""
+    if isinstance(pairs, pa.Table):
+        pairs_tbl: pa.Table | None = pairs
+        refs = None
+        npairs = pairs.num_rows
+    else:
+        refs = pairs.select_columns([id_a, id_b]).to_arrow_refs()
+        pairs_tbl = None
+        npairs = sum(ray.get([_cc_nrows.remote(r) for r in refs]))
+    if mode == "auto":
+        mode = "driver" if npairs < 5_000_000 else "partitioned"
+
+    if mode == "driver":
+        if pairs_tbl is None:
+            pairs_tbl = pa.concat_tables(ray.get(refs)).select([id_a, id_b])
+        if pairs_tbl.num_rows == 0:
+            return pa.table({"doc_id": pairs_tbl[id_a],
+                             "cluster_id": pairs_tbl[id_b]})
+        a = pairs_tbl[id_a].to_numpy(zero_copy_only=False)
+        b = pairs_tbl[id_b].to_numpy(zero_copy_only=False)
+        out = _cc_driver(a, b)
+        return out.take(pa.array(np.argsort(
+            out["doc_id"].to_numpy(zero_copy_only=False), kind="stable")))
+
+    # ---- partitioned label propagation ----
+    if pairs_tbl is not None:
+        refs = [ray.put(pairs_tbl.select([id_a, id_b]))]
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    P = max(2, min(32, cpus))
+
+    @ray.remote
+    def to_edges(t: pa.Table) -> pa.Table:
+        # symmetric edge list: (a,b) and (b,a)
+        fwd = pa.table({"src": t[id_a], "dst": t[id_b]})
+        rev = pa.table({"src": t[id_b], "dst": t[id_a]})
+        return pa.concat_tables([fwd, rev])
+
+    edge_refs = [to_edges.remote(r) for r in refs]
+    split_parts = _exchange(edge_refs, "src", P, _cc_concat)
+    edges = split_parts                       # one pinned table per part
+    labels = [_cc_init_labels.remote(e) for e in edges]
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        msg_splits = [
+            _cc_msg_task.options(num_returns=P).remote(P, labels[p], edges[p])
+            for p in range(P)
+        ]
+        new_labels, changed_refs = [], []
+        for p in range(P):
+            nl, ch = _cc_update_task.remote(
+                labels[p], *[s[p] for s in msg_splits])
+            new_labels.append(nl)
+            changed_refs.append(ch)
+        labels = new_labels
+        if sum(ray.get(changed_refs)) == 0:
+            break
+    else:
+        logger.warning("dup_clusters: label propagation hit max_rounds=%d "
+                       "before convergence", max_rounds)
+    out = pa.concat_tables(
+        [t.rename_columns(["doc_id", "cluster_id"]) for t in ray.get(labels)])
+    return out.take(pa.array(np.argsort(
+        out["doc_id"].to_numpy(zero_copy_only=False), kind="stable")))
+
+
+@ray.remote
+def _cc_nrows(t: pa.Table) -> int:
+    return t.num_rows
+
+
 # ------------------------------------------------------------- minhash
 
 

@@ -286,3 +286,45 @@ def test_stable_hash64_array_vectorized():
                     for i in range(100000)])
     h = stable_hash64_array(big)
     assert len(np.unique(h)) == len(big)
+
+
+def test_dup_clusters_modes_identical(ray_session):
+    """driver union-find and distributed min-label propagation produce
+    identical (doc_id, cluster_id); clusters are transitive and the
+    cluster id is the min member."""
+    import collections
+
+    import ray.data as rd
+
+    from dataquality_cli_ray.pipelines.dedup import dup_clusters
+
+    rng = np.random.default_rng(7)
+    ids = np.array([f"d{i:04d}" for i in range(200)])
+    a = rng.integers(0, 200, 150)
+    b = rng.integers(0, 200, 150)
+    m = a != b
+    pairs = pa.table({"id_a": pa.array(ids[np.minimum(a, b)[m]]),
+                      "id_b": pa.array(ids[np.maximum(a, b)[m]])})
+    drv = dup_clusters(pairs, mode="driver")
+    part = dup_clusters(rd.from_arrow(pairs), mode="partitioned")
+    assert drv.to_pydict() == part.to_pydict()
+
+    lab = dict(zip(drv["doc_id"].to_pylist(), drv["cluster_id"].to_pylist()))
+    for x, y in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()):
+        assert lab[x] == lab[y]          # endpoints co-clustered
+    members = collections.defaultdict(list)
+    for n, c in lab.items():
+        members[c].append(n)
+    for c, ms in members.items():
+        assert c == min(ms)              # representative = min member
+
+    # transitivity needs >1 propagation round: a chain a-b-c-d
+    chain = pa.table({"id_a": ["a", "b", "c"], "id_b": ["b", "c", "d"]})
+    out = dup_clusters(chain, mode="partitioned").to_pydict()
+    assert sorted(out["doc_id"]) == ["a", "b", "c", "d"]
+    assert set(out["cluster_id"]) == {"a"}
+
+    # empty pair list -> empty result, typed
+    empty = pa.table({"id_a": pa.array([], type=pa.string()),
+                      "id_b": pa.array([], type=pa.string())})
+    assert dup_clusters(empty, mode="driver").num_rows == 0
