@@ -55,7 +55,6 @@ import ray.data as rd
 from ray.data.aggregate import Min, Sum
 
 from ..fixtures.images import seed_corpus
-from ..sources.readers import read_parquet_fast
 from ..stages.image_stages import DecodeImageStage
 from ..stages.langid import LangIdScorer, train_langid_model
 from ..stages.perplexity import PerplexityScorer, train_char_lm
@@ -79,15 +78,16 @@ DUP_SHUFFLE_THRESHOLD_ROWS = int(
 DUP_PARTITIONS = 32
 
 
-def _parquet_rows(path: str) -> tuple[int, int]:
-    """(total rows, file count) from parquet footers (metadata only).
+def _parquet_rows(path: str) -> tuple[int, int | None]:
+    """(total rows, file count or None) from table metadata only.
 
-    Delegates to :func:`..sources.readers.parquet_footer_rows`, which
-    reads footers with a thread pool AND seeds the shared footer cache
-    so the pipeline's subsequent reads plan without re-reading them."""
-    from ..sources.readers import parquet_footer_rows
+    Parquet: footers via :func:`..sources.readers.parquet_footer_rows`
+    (thread pool + seeds the shared footer cache so the pipeline's
+    subsequent reads plan without re-reading them). Lance: manifest
+    row count (north rule reads Lance tables when the lib exists)."""
+    from ..sources.readers import table_rows
 
-    return parquet_footer_rows(path)
+    return table_rows(path)
 
 
 def _ray_cpus() -> int:
@@ -402,12 +402,14 @@ def _dup_prepass_task(input_path: str, key_col: str, id_col: str,
     one tiny per-file task whose open/footer overhead dominates a
     two-column scan (measured 2.7 s packed vs 8.5 s per-file at 449
     files / 3.2 M rows)."""
+    from ..sources.readers import read_table
+
     nb = max(2 * _ray_cpus(), 1)
     if n_files:
         nb = min(nb, n_files)   # never ask for more blocks than files:
         #                         oversplitting adds a SplitBlocks op
-    proj = read_parquet_fast(input_path, columns=[key_col, id_col],
-                           override_num_blocks=nb)
+    proj = read_table(input_path, columns=[key_col, id_col],
+                      override_num_blocks=nb)
     return phash_dup_losers(proj, mode="auto", approx_rows=approx_rows)
 
 
@@ -771,12 +773,14 @@ def images_quality_pipeline(
     ctx = rd.DataContext.get_current()
     ctx.target_max_block_size = min(
         ctx.target_max_block_size or (128 << 20), 32 << 20)
+    from ..sources.readers import read_table
+
     nrows, nfiles = _parquet_rows(input_path)
-    ds = read_parquet_fast(input_path)
+    ds = read_table(input_path)   # lance when available, else parquet
     if dedup_mode == "single" and dup_map is None:
         return _single_read_pipeline(ds, cfg, decode, **kw)
     if dedup_mode == "join" and dup_map is None:
-        proj = read_parquet_fast(input_path, columns=[cfg.dedup_key, cfg.id_col])
+        proj = read_table(input_path, columns=[cfg.dedup_key, cfg.id_col])
         return quality_pipeline(ds, None, cfg, decode=decode,
                                 dup_ds=dup_groups_dataset(proj), **kw)
     if dup_map is None:
@@ -788,9 +792,9 @@ def images_quality_pipeline(
             nb = max(2 * _ray_cpus(), 1)
             if nfiles:
                 nb = min(nb, nfiles)
-            proj = read_parquet_fast(input_path,
-                                     columns=[cfg.dedup_key, cfg.id_col],
-                                     override_num_blocks=nb)
+            proj = read_table(input_path,
+                              columns=[cfg.dedup_key, cfg.id_col],
+                              override_num_blocks=nb)
             dup_map = phash_dup_losers(proj, mode="auto",
                                        approx_rows=nrows)
         else:

@@ -154,16 +154,36 @@ def _read_csv_truncate_task(path: str, delim: str):
     return _read_csv_truncate_table(path, delim)
 
 
+def is_lance_dataset(path) -> bool:
+    """True when the path is a Lance dataset (by layout; cheap stat)."""
+    p = str(path)
+    return p.endswith(".lance") or os.path.isdir(os.path.join(p, "_versions"))
+
+
 def read_table(path: str, columns: list[str] | None = None, **kw) -> "rd.Dataset":
     """Lance if available and the path is a Lance dataset, else parquet.
     One call site for the north rule's 'read via lance → Dataset'."""
-    try:
-        import lance  # noqa: F401
-        if path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions")):
+    if is_lance_dataset(path):
+        try:
+            import lance  # noqa: F401
+
             return rd.read_lance(path, columns=columns, **kw)
-    except ImportError:
-        pass
+        except ImportError:
+            pass
     return read_parquet_fast(path, columns=columns, **kw)
+
+
+def table_rows(path: str) -> tuple[int, int | None]:
+    """(total rows, file count or None) for a parquet dir/file or a
+    Lance dataset — metadata only (Lance counts from its manifest)."""
+    if is_lance_dataset(path):
+        try:
+            import lance
+
+            return lance.dataset(str(path)).count_rows(), None
+        except ImportError:
+            pass
+    return parquet_footer_rows(path)
 
 
 class _LocalFooterMetadataProvider:
