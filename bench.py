@@ -217,11 +217,14 @@ def run_scaling() -> dict:
     """
     # larger input for the scaling comparison: at 100k rows the job is
     # overhead-dominated and CPU count barely matters (12.5k rows/CPU at
-    # 32); 12.8M rows (400k rows/CPU at 32) makes compute the bottleneck
-    # so the 8-vs-32 ratio measures the pipeline, not startup — the
-    # round-2 campaign protocol (BASELINE.md). The fixture is ~31 GB on
-    # first use (generated once, cached).
-    scaling_rows = os.environ.get("SCALING_ROWS", "12800000")
+    # 32); 25.6M rows (800k rows/CPU at 32) makes compute dominate the
+    # ~5-7 s width-independent overhead (executor ramp + staged prepass
+    # serial slack) so the 8-vs-32 ratio measures the pipeline, not
+    # startup — round-2 ran 12.8M where that overhead still decided
+    # pass/fail by host window (BASELINE.md). The fixture is ~63 GB on
+    # first use (generated once, cached; page cache holds it on this
+    # 125 GiB box).
+    scaling_rows = os.environ.get("SCALING_ROWS", "25600000")
     repeat = os.environ.get("BENCH_HEADLINE_REPEAT", "2")
 
     def warm_page_cache():

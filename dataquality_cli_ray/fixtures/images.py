@@ -199,14 +199,21 @@ def gen_rows(ids: np.ndarray, n_rows: int, seed: int = SEED) -> pa.Table:
 
 
 class GenImagesBatch:
-    """map_batches fn over ``ray.data.range(n)`` blocks → image rows."""
+    """map_batches fn over ``ray.data.range(n)`` blocks → image rows.
 
-    def __init__(self, n_rows: int, seed: int = SEED):
+    ``offset`` shifts the range ids to absolute row ids so a chunk
+    ``range(hi - lo)`` generates rows ``[lo, hi)`` bit-identically to a
+    single full-table run (every row derives only from
+    ``default_rng([seed, row_id])`` and the TOTAL ``n_rows``)."""
+
+    def __init__(self, n_rows: int, seed: int = SEED, offset: int = 0):
         self.n_rows = n_rows
         self.seed = seed
+        self.offset = offset
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return gen_rows(batch["id"].to_numpy(), self.n_rows, self.seed)
+        return gen_rows(batch["id"].to_numpy() + self.offset,
+                        self.n_rows, self.seed)
 
 
 def generate_images_parquet(
@@ -214,9 +221,21 @@ def generate_images_parquet(
     out_dir: str = "/tmp/dqray_fixtures",
     seed: int = SEED,
     use_ray: bool = True,
+    chunk_rows: int = 3_200_000,
 ) -> str:
     """Generate (cached) the fixture as partitioned parquet; returns the
-    dataset directory. Uses Ray for parallel generation at scale."""
+    dataset directory. Uses Ray for parallel generation at scale.
+
+    Large runs are generated in resumable ``chunk_rows`` chunks: each
+    chunk writes to an underscore-prefixed temp subdir (invisible to
+    parquet readers), is renamed into the dataset dir file-by-file, and
+    records a ``_chunk_NNNN.done`` marker — a crash mid-generation (a
+    multi-GB run outlives host session windows) loses at most one
+    chunk on retry instead of the whole table. Chunked output is
+    bit-identical per row to a single-run table (rows derive only from
+    ``default_rng([seed, row_id])`` + total ``n_rows``)."""
+    import shutil
+
     path = os.path.join(out_dir, f"images_n{n_rows}_s{seed}")
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
@@ -225,23 +244,40 @@ def generate_images_parquet(
     if use_ray and n_rows > 20_000:
         import ray.data as rd
 
-        (
-            rd.range(n_rows)
-            .map_batches(GenImagesBatch(n_rows, seed), batch_format="pyarrow",
-                         batch_size=2048)
-            # bounded file size: files are the read-task granularity
-            # once the quality pipeline's ReadParquet fuses with its
-            # kernel chain, so ~8k-row (~20 MB) files keep ~2-3 tasks
-            # per CPU in flight at bench scale instead of 50-100k-row
-            # files that quantize the run into a few coarse waves
-            # bytes holds an (incompressible) encoded image payload:
-            # storing it uncompressed skips a pure-memcpy snappy
-            # decompress pass on EVERY read — the layout choice a real
-            # image-parquet lake makes for jpeg payloads
-            .write_parquet(path, min_rows_per_file=8192,
-                           max_rows_per_file=8192,
-                           compression="none")
-        )
+        for k, lo in enumerate(range(0, n_rows, chunk_rows)):
+            hi = min(lo + chunk_rows, n_rows)
+            done = os.path.join(path, f"_chunk_{k:04d}.done")
+            if os.path.exists(done):
+                continue
+            tmp = os.path.join(path, f"_tmp_chunk_{k:04d}")
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            (
+                rd.range(hi - lo)
+                .map_batches(GenImagesBatch(n_rows, seed, offset=lo),
+                             batch_format="pyarrow", batch_size=2048)
+                # bounded file size: files are the read-task granularity
+                # once the quality pipeline's ReadParquet fuses with its
+                # kernel chain, so ~8k-row (~20 MB) files keep ~2-3
+                # tasks per CPU in flight at bench scale instead of
+                # 50-100k-row files that quantize the run into a few
+                # coarse waves. bytes holds an (incompressible) encoded
+                # image payload: storing it uncompressed skips a pure-
+                # memcpy snappy decompress pass on EVERY read — the
+                # layout choice a real image-parquet lake makes for
+                # jpeg payloads
+                .write_parquet(tmp, min_rows_per_file=8192,
+                               max_rows_per_file=8192,
+                               compression="none")
+            )
+            # publish: deterministic names so a re-publish after a
+            # mid-rename crash overwrites instead of duplicating
+            for i, f in enumerate(sorted(os.listdir(tmp))):
+                os.replace(os.path.join(tmp, f),
+                           os.path.join(path, f"chunk{k:04d}_{i:05d}.parquet"))
+            os.rmdir(tmp)
+            with open(done, "w") as f:
+                f.write("ok")
     else:
         t = gen_rows(np.arange(n_rows), n_rows, seed)
         pq.write_table(t, os.path.join(path, "part-0.parquet"),

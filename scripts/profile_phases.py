@@ -115,7 +115,8 @@ def main():
                                       ppl_model=ppl_model).count()
         assert n == N, n
 
-    timed("single_total", _single)
+    if os.environ.get("PROFILE_SINGLE", "1") == "1":
+        timed("single_total", _single)
 
     ray.shutdown()
     print(json.dumps(out))
