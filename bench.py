@@ -135,6 +135,8 @@ def run_benchmarks() -> dict:
         "text", "doc_id", threshold=0.5).count())
     timed("docs_token_stats", lambda: TQ.token_stats(
         read_parquet_small(f"{SF_DIR}/documents.parquet")).count())
+    timed("docs_length_histogram", lambda: TQ.token_length_histogram(
+        read_parquet_small(f"{SF_DIR}/documents.parquet")).count())
 
     def _ann():
         Q, qids = SIM.load_query_vectors(SF_DIR, 10)

@@ -140,6 +140,53 @@ FROM customer""")
     return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
 
 
+def q_describe_dates(sf_dir: str) -> pd.DataFrame:
+    """Datetime member of the type-promotion lattice: the reference
+    DOC-CLAIMS a datetime column type (cmd/describe.go:82) but never
+    detects one; here a STRING column whose every non-blank value
+    strptime-validates infers ``datetime`` (state/sketches.py
+    DT_FORMATS). o_orderdate rendered to ISO strings distributed, then
+    profiled — the oracle hardcodes 'datetime', so a detection
+    regression hash-mismatches."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = read_parquet_small(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate"])
+
+    def to_str(t: pa.Table) -> pa.Table:
+        # cast to second unit first: Arrow's %S renders fractional
+        # seconds for sub-second units (".000000"), DuckDB's does not
+        ts = t["o_orderdate"].cast(pa.timestamp("s"))
+        return pa.table({"od": pc.strftime(ts,
+                                           format="%Y-%m-%d %H:%M:%S")})
+
+    df = describe(ds.map_batches(to_str, batch_format="pyarrow",
+                                 batch_size=8192)).to_pandas()
+    r = df.set_index("column").loc["od"]
+    return pd.DataFrame([{
+        "col_name": "od",
+        "n": int(r["n"]),
+        "nulls": int(r["nulls"]),
+        "unique_cnt": int(r["unique"]),
+        "min_str": r["min_str"],
+        "max_str": r["max_str"],
+        "inferred_type": r["inferred_type"],
+    }])
+
+
+SQL_DESCRIBE_DATES = """WITH s AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od FROM orders)
+SELECT 'od' AS col_name,
+ count(*)::BIGINT AS n,
+ (count(*) FILTER (WHERE od IS NULL OR trim(od) = ''))::BIGINT AS nulls,
+ count(DISTINCT od)::BIGINT AS unique_cnt,
+ min(od) AS min_str,
+ max(od) AS max_str,
+ 'datetime' AS inferred_type
+FROM s"""
+
+
 def q_null_rate_orders(sf_dir: str) -> pd.DataFrame:
     ds = read_parquet_small(f"{sf_dir}/orders.parquet")
     t = describe(ds).to_pandas()
@@ -347,6 +394,24 @@ def sql_docs_token_stats() -> str:
  length(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits,
  length(regexp_extract_all(text, '[^\\sA-Za-z0-9]'))::BIGINT AS n_punct
 FROM documents ORDER BY doc_id"""
+
+
+def q_docs_length_histogram(sf_dir: str) -> pd.DataFrame:
+    """Token-length histogram (bin_width=8 ws-tokens, last bin open):
+    per-batch bincount combiner -> tiny groupby, corpus never
+    shuffles (textqa.token_length_histogram)."""
+    ds = read_parquet_small(f"{sf_dir}/documents.parquet")
+    df = TQ.token_length_histogram(ds).to_pandas()
+    return df.sort_values("bin").reset_index(drop=True)
+
+
+def sql_docs_length_histogram() -> str:
+    return f"""WITH t AS (
+  SELECT least(length(regexp_extract_all({_trim('text')}, '\\S+')) // 8,
+               32)::BIGINT AS bin
+  FROM documents)
+SELECT bin, (bin * 8)::BIGINT AS lo_tokens, count(*)::BIGINT AS n_docs
+FROM t GROUP BY bin ORDER BY bin"""
 
 
 def q_docs_quality_scores(sf_dir: str) -> pd.DataFrame:
@@ -875,6 +940,36 @@ def q_audio_features(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("audio_id").reset_index(drop=True)
 
 
+def q_images_phash_neardup(sf_dir: str) -> pd.DataFrame:
+    """Image NEAR-duplicate pairs by perceptual-hash Hamming distance
+    ≤ 3 (dedup.hamming_neardup_pairs: pigeonhole banding over the
+    precomputed phash + in-bucket popcount verify). TRUE SQL oracle —
+    DuckDB brute-forces all C(n,2) pairs with bit_count(xor()) over
+    the same fixture, so the banded path's exact recall is checked
+    end to end, not just pinned."""
+    from .fixtures.images import generate_images_parquet
+
+    path = generate_images_parquet(2000, use_ray=False)
+    ds = read_parquet_small(path, columns=["image_id", "phash"])
+    out = DD.hamming_neardup_pairs(ds, "phash", "image_id",
+                                   max_hamming=3).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def sql_images_phash_neardup() -> str:
+    from .fixtures.images import generate_images_parquet
+
+    path = generate_images_parquet(2000, use_ray=False)
+    f = f"{path}/part-0.parquet"
+    return f"""
+WITH t AS (SELECT image_id, phash FROM read_parquet('{f}'))
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+FROM t a JOIN t b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+ORDER BY id_a, id_b"""
+
+
 def q_images_describe(sf_dir: str) -> pd.DataFrame:
     from .fixtures.images import generate_images_parquet
 
@@ -946,6 +1041,7 @@ def build_queries() -> dict:
         "describe_lineitem_numeric": q_describe_lineitem_numeric,
         "describe_customer_strings": q_describe_customer_strings,
         "null_rate_orders": q_null_rate_orders,
+        "describe_dates": q_describe_dates,
         "distinct_part": q_distinct_part,
         "top_freq_nation": q_top_freq_nation,
         "rollup_quality": q_rollup_quality,
@@ -962,6 +1058,7 @@ def build_queries() -> dict:
         # text analysis
         "customers_csv": q_customers_csv,
         "docs_token_stats": q_docs_token_stats,
+        "docs_length_histogram": q_docs_length_histogram,
         "docs_quality_scores": q_docs_quality_scores,
         "docs_rules": q_docs_rules,
         "docs_scrubbed": q_docs_scrubbed,
@@ -984,6 +1081,7 @@ def build_queries() -> dict:
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_dup_lsh": q_embedding_dup_lsh,
         "images_quality": q_images_quality,
+        "images_phash_neardup": q_images_phash_neardup,
         "images_describe": q_images_describe,
         "images_features": q_images_features,
         "images_resize": q_images_resize,
@@ -995,6 +1093,7 @@ def build_oracles() -> dict:
         "describe_lineitem_numeric": sql_describe_lineitem_numeric(),
         "describe_customer_strings": sql_describe_customer_strings(),
         "null_rate_orders": sql_null_rate_orders(),
+        "describe_dates": SQL_DESCRIBE_DATES,
         "distinct_part": sql_distinct_part(),
         "top_freq_nation": sql_top_freq_nation(),
         "rollup_quality": sql_rollup_quality(),
@@ -1012,6 +1111,7 @@ def build_oracles() -> dict:
             "WHERE o_orderstatus = 'P') ORDER BY c_custkey"),
         "customers_csv": SQL_CUSTOMERS_CSV,
         "docs_token_stats": sql_docs_token_stats(),
+        "docs_length_histogram": sql_docs_length_histogram(),
         "docs_quality_scores": sql_docs_quality_scores(),
         "docs_rules": sql_docs_rules(),
         "docs_scrubbed": sql_docs_scrubbed(),
@@ -1021,5 +1121,6 @@ def build_oracles() -> dict:
         "embedding_dup_pairs": sql_embedding_dup_pairs(),
         "docs_ngram_jaccard": sql_docs_ngram_jaccard(),
         "docs_dup_clusters": sql_docs_dup_clusters(),
+        "images_phash_neardup": sql_images_phash_neardup(),
         **golden_oracles(),
     }

@@ -808,6 +808,56 @@ def simhash_pairs(
         (max_hamming, max_bucket), "hamming", "min")
 
 
+def hamming_neardup_pairs(
+    ds: "rd.Dataset", sig_col: str, id_col: str,
+    max_hamming: int = 3, max_bucket: int = 2000,
+) -> "rd.Dataset":
+    """Near-dup pairs over a PRECOMPUTED 64-bit signature column —
+    image perceptual-hash (phash) near-duplicates with Hamming ≤
+    ``max_hamming``, the image-tier analog of ``simhash_pairs`` (whose
+    SimHash step is skipped: the signature already exists on the row).
+
+    Pigeonhole blocking: the signature splits into ``nbands`` equal
+    bands; any pair within Hamming ≤ nbands-1 agrees exactly on at
+    least one band, so exact-match bucketing per band + an in-bucket
+    popcount verify finds EVERY qualifying pair (recall 1.0 up to the
+    ``max_bucket`` cap, which is logged, never silent). 4 × 16-bit
+    bands cover radius ≤ 3, 8 × 8-bit bands radius ≤ 7. Only
+    (band_key, id, signature) rows enter the bucket-pair exchange —
+    image bytes never shuffle."""
+    nbands = 4 if max_hamming <= 3 else 8
+    if max_hamming >= nbands:
+        raise ValueError(f"max_hamming {max_hamming} needs < {nbands} bands")
+    width = 64 // nbands
+    mask = np.uint64((1 << width) - 1)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sig = batch[sig_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        u = sig.view(np.uint64)
+        n = len(u)
+        blk = np.arange(nbands, dtype=np.uint64)
+        parts = (u[:, None] >> (np.uint64(width) * blk[None, :])) & mask
+        # tag each band value with its band index so cross-band values
+        # never collide into one bucket
+        keys = ((blk[None, :] << np.uint64(width)) | parts).astype(np.int64)
+        ids = batch[id_col].combine_chunks().take(
+            pa.array(np.repeat(np.arange(n), nbands)))
+        return pa.table({
+            "block_key": pa.array(keys.ravel(), type=pa.int64()),
+            "doc_id": ids,
+            "simhash": pa.array(np.repeat(sig, nbands), type=pa.int64()),
+        })
+
+    exploded = ds.select_columns([sig_col, id_col]).map_batches(
+        explode, batch_format="pyarrow", batch_size=65536,
+        zero_copy_batch=True,
+    )
+    return _bucket_pair_exchange(
+        exploded, "block_key", _simhash_partition_task,
+        (max_hamming, max_bucket), "hamming", "min")
+
+
 # ---------------------------------------------------- embedding cosine
 
 

@@ -249,7 +249,13 @@ def dup_losers_from_refs(refs: list, key_col: str = "phash",
     P = max(2, P)
     if not refs:
         return {}
-    group = 8
+    # group size adapts to cluster width: a fixed group of 8 left only
+    # len(refs)/8 split tasks — an 8-way ceiling on a 32-CPU leg that
+    # turned the whole round-1 exchange into width-independent overhead
+    # (~5.6 s of the staged pre-chain at 25.6 M rows). Keep at least
+    # 2 tasks/CPU for work-stealing balance; cap at 8 so narrow
+    # clusters still get cross-block re-combining before the exchange.
+    group = max(1, min(8, len(refs) // (2 * _ray_cpus())))
     split_outs = []
     for i in range(0, len(refs), group):
         split_outs.append(
@@ -269,6 +275,7 @@ def dup_losers_from_refs(refs: list, key_col: str = "phash",
                                 *refs[i : i + group])
         for i in range(0, len(refs), group)
     ]
+    # overlap: the winner tasks run while the merge task waits on them
     return ray.get(_dup_winner_merge.remote(key_col, *winner_parts))
 
 
@@ -292,10 +299,22 @@ def _dup_losers_partitioned(combined: "rd.Dataset",
 
     (P >= 2 always — enforced in dup_losers_from_refs: with
     num_returns=1 Ray would hand the merge task the whole returned
-    LIST instead of unpacking it per partition. ~1 split task per ~8
-    blocks: big enough for local re-combining to shrink repeats, small
-    enough to fan across the cluster.)"""
-    return dup_losers_from_refs(combined.to_arrow_refs(), P=P)
+    LIST instead of unpacking it per partition.)"""
+    return dup_losers_from_refs(_executed_block_refs(combined), P=P)
+
+
+def _executed_block_refs(ds: "rd.Dataset") -> list:
+    """Execute a Dataset and return its block ObjectRefs WITHOUT
+    ``to_arrow_refs()``: that helper calls ``schema(fetch_if_missing)``
+    AFTER draining the plan, which re-executes a ``limit=1`` slice of
+    the whole read chain (~0.7 s of pure serial overhead per pipeline
+    at 25.6 M rows). Our blocks are always Arrow (pyarrow batch
+    format), so the refs are usable directly."""
+    try:
+        bundles = ds.iter_internal_ref_bundles()
+        return [ref for b in bundles for ref in b.block_refs]
+    except AttributeError:                      # Ray internals moved
+        return ds.to_arrow_refs()
 
 
 def phash_dup_losers(proj_ds: "rd.Dataset", mode: str = "auto",
@@ -413,30 +432,42 @@ def _dup_prepass_task(input_path: str, key_col: str, id_col: str,
     return phash_dup_losers(proj, mode="auto", approx_rows=approx_rows)
 
 
-def _dup_lookup(dup_map: dict) -> tuple[np.ndarray, np.ndarray]:
-    """dict → (sorted int64 keys, aligned winner object array) for
-    vectorized searchsorted marking."""
+def _dup_lookup(dup_map: dict) -> tuple[np.ndarray, "pa.Array"]:
+    """dict → (sorted int64 keys, aligned winner Arrow string array)
+    for vectorized searchsorted marking. Winners are converted to
+    Arrow ONCE here, not per batch."""
     if not dup_map:
-        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=object))
+        return (np.empty(0, dtype=np.int64),
+                pa.array([], type=pa.string()))
     keys = np.fromiter(dup_map.keys(), dtype=np.int64, count=len(dup_map))
     order = np.argsort(keys)
-    winners = np.asarray(list(dup_map.values()), dtype=object)[order]
+    winners = pa.array(
+        np.asarray(list(dup_map.values()), dtype=object)[order],
+        type=pa.string())
     return keys[order], winners
 
 
 def _mark_dup(batch: pa.Table, keys: np.ndarray,
-              winners: np.ndarray) -> pa.Table:
+              winners: "pa.Array") -> pa.Table:
     """rule_phash_dup = (phash in dup set) and (image_id != winner),
-    fully vectorized (searchsorted + object-array compare on the few
-    candidate rows)."""
+    fully vectorized: searchsorted on the int64 keys, then an ARROW
+    take+not_equal over the candidate rows only — no Python-string
+    round-trip of the whole id column (the old full ``to_pylist()``
+    cost grew with the dup-row share: ~6 % of rows at the 25.6 M
+    fixture means nearly every batch paid it)."""
     ph = batch["phash"].to_numpy(zero_copy_only=False)
     mask = np.zeros(len(batch), dtype=bool)
     if len(keys):
         idx = np.clip(np.searchsorted(keys, ph), 0, len(keys) - 1)
         cand = keys[idx] == ph
         if cand.any():
-            ids = np.asarray(batch["image_id"].to_pylist(), dtype=object)
-            mask[cand] = ids[cand] != winners[idx[cand]]
+            rows = np.nonzero(cand)[0]
+            ids = batch["image_id"].take(pa.array(rows))
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            w = winners.take(pa.array(idx[rows]))
+            neq = pc.not_equal(ids, w)
+            mask[rows] = neq.to_numpy(zero_copy_only=False)
     return batch.append_column("rule_phash_dup", pa.array(mask))
 
 

@@ -148,3 +148,47 @@ def fingerprints(ds: "rd.Dataset", text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow", batch_size=8192)
+
+
+def token_length_histogram(ds: "rd.Dataset", text_col: str = "text",
+                           bin_width: int = 8,
+                           max_bins: int = 32) -> "rd.Dataset":
+    """Corpus token-length distribution: fixed-width histogram over the
+    whitespace token count, last bin open-ended — the length-diagnostic
+    a training-data pipeline runs before choosing truncation/packing
+    sizes.
+
+    Scale shape: each block reduces to ≤ ``max_bins + 1`` (bin, n_docs)
+    rows via a per-batch ``bincount`` combiner; only those tiny partials
+    enter the ``groupby`` — the corpus itself never shuffles, so the
+    exchange is O(blocks × bins) regardless of input size."""
+
+    from ray.data.aggregate import Sum
+
+    def combine(batch: pa.Table) -> pa.Table:
+        toks = T.token_count_ws(batch[text_col]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        b = np.minimum(toks // bin_width, max_bins)
+        cnt = np.bincount(b, minlength=max_bins + 1)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({
+            "bin": pa.array(nz.astype(np.int64)),
+            "n_docs": pa.array(cnt[nz].astype(np.int64)),
+        })
+
+    combined = ds.select_columns([text_col]).map_batches(
+        combine, batch_format="pyarrow", batch_size=8192,
+        zero_copy_batch=True)
+    agg = combined.groupby("bin").aggregate(
+        Sum("n_docs", alias_name="n_docs"))
+
+    def bounds(t: pa.Table) -> pa.Table:
+        b = t["bin"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bin": t["bin"],
+            "lo_tokens": pa.array(b * bin_width, type=pa.int64()),
+            "n_docs": t["n_docs"],
+        })
+
+    return agg.map_batches(bounds, batch_format="pyarrow",
+                           batch_size=4096)

@@ -54,6 +54,18 @@ import pyarrow.compute as pc
 INT_REGEX = r"^[+-]?[0-9]+$"
 FLOAT_REGEX = r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"
 
+# full-string ISO-8601-ish formats probed on STRING columns for the
+# datetime member of the promotion lattice. The reference DOC-CLAIMS a
+# datetime column type (/root/reference/cmd/describe.go:82) but never
+# detects one; detection is real here and strictly additive — a column
+# infers datetime only when EVERY non-blank value strptime-parses
+# (validated, not regex-matched: "2024-13-45" does not count).
+DT_FORMATS = ("%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d")
+# one cheap RE2 shape gate before strptime so ordinary text columns pay
+# a single regex scan (same cost class as INT/FLOAT_REGEX), not three
+# strptime passes over every distinct value
+DT_SHAPE_REGEX = r"^[0-9]{4}-[0-9]{2}-[0-9]{2}([ T][0-9]{2}:[0-9]{2}:[0-9]{2})?$"
+
 DEFAULT_UNIQUE_CAP = 1 << 20       # exact distinct set cap per column
 DEFAULT_TOPK_CAP = 1 << 16         # value-counts map cap
 DEFAULT_VALUES_CAP = 1 << 21       # exact-quantile value buffer cap
@@ -154,6 +166,7 @@ class ColumnPartial:
     has_int: bool = False
     has_float: bool = False
     has_str: bool = False
+    has_datetime: bool = False
     unique_cap: int = DEFAULT_UNIQUE_CAP
     topk_cap: int = DEFAULT_TOPK_CAP
     values_cap: int = DEFAULT_VALUES_CAP
@@ -227,11 +240,27 @@ class ColumnPartial:
         n_int = pc.sum(is_int.cast(pa.int64())).as_py() or 0
         n_float = pc.sum(is_float.cast(pa.int64())).as_py() or 0
         total = len(distinct)
+        # datetime probe: one RE2 shape gate over the distincts, then
+        # strptime VALIDATION (month/day ranges — "2024-13-45" fails)
+        # on the usually-tiny surviving subset
+        n_dt = 0
+        cand = distinct.filter(
+            pc.match_substring_regex(distinct, DT_SHAPE_REGEX))
+        if len(cand):
+            ok = None
+            for fmt in DT_FORMATS:
+                parsed = pc.strptime(cand, format=fmt, unit="us",
+                                     error_is_null=True)
+                valid = pc.is_valid(parsed)
+                ok = valid if ok is None else pc.or_(ok, valid)
+            n_dt = pc.sum(ok.cast(pa.int64())).as_py() or 0
         if n_int:
             self.has_int = True
         if n_float > n_int:
             self.has_float = True
-        if n_float < total:
+        if n_dt:
+            self.has_datetime = True
+        if n_float + n_dt < total:
             self.has_str = True
 
     def _update_distinct_and_mode(self, nonnull: pa.Array) -> None:
@@ -360,6 +389,7 @@ class ColumnPartial:
         self.has_int |= o.has_int
         self.has_float |= o.has_float
         self.has_str |= o.has_str
+        self.has_datetime |= o.has_datetime
         return self
 
     # ---------- finalize ----------
@@ -419,11 +449,17 @@ class ColumnPartial:
 
     def inferred_type(self) -> str:
         """Promotion lattice of the exact engines (simple_engine.go:262-270):
-        int iff only ints; float if only ints/floats; else string."""
+        int iff only ints; float if only ints/floats; else string —
+        extended (additively; see DT_FORMATS) with datetime iff EVERY
+        non-blank value is a validated datetime (a numeric/datetime mix
+        stays string: no meaningful promotion joins them)."""
         if self.kind == "numeric":
             return "float" if self.has_float else "int"
         if self.has_str:
             return "string"
+        if self.has_datetime:
+            return "string" if (self.has_int or self.has_float) \
+                else "datetime"
         if self.has_float:
             return "float"
         if self.has_int:

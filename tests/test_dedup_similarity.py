@@ -328,3 +328,37 @@ def test_dup_clusters_modes_identical(ray_session):
     empty = pa.table({"id_a": pa.array([], type=pa.string()),
                       "id_b": pa.array([], type=pa.string())})
     assert dup_clusters(empty, mode="driver").num_rows == 0
+
+
+def test_hamming_neardup_exact_vs_bruteforce(ray_session):
+    """Pigeonhole-banded phash near-dup must find EXACTLY the brute
+    force pair set (recall 1.0 is guaranteed for radius <= nbands-1;
+    precision 1.0 from the in-bucket popcount verify)."""
+    from dataquality_cli_ray.fixtures.images import generate_images_parquet
+    from dataquality_cli_ray.sources.readers import read_parquet_small
+
+    path = generate_images_parquet(2000, use_ray=False)
+    ds = read_parquet_small(path, columns=["image_id", "phash"])
+    got = (DD.hamming_neardup_pairs(ds, "phash", "image_id", max_hamming=3)
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{path}/part-0.parquet", columns=["image_id", "phash"])
+    ids = np.array(t["image_id"].to_pylist())
+    order = np.argsort(ids)
+    ids = ids[order]
+    h = t["phash"].to_numpy()[order].view(np.uint64)
+    d = hamming64(h[None, :], h[:, None])  # broadcast popcount matrix
+    iu, ju = np.nonzero(np.triu(d <= 3, k=1))
+    want = pd.DataFrame({
+        "id_a": ids[iu], "id_b": ids[ju],
+        "hamming": d[iu, ju].astype(np.int64),
+    }).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    assert len(want) > 100  # fixture's cluster pool makes this rich
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_hamming_neardup_radius_guard():
+    with pytest.raises(ValueError):
+        DD.hamming_neardup_pairs(None, "phash", "image_id", max_hamming=9)

@@ -85,6 +85,32 @@ def test_type_promotion_lattice():
         assert p.inferred_type() == want, (vals, want)
 
 
+def test_datetime_inference():
+    """Additive datetime member of the lattice: EVERY non-blank value
+    must strptime-VALIDATE (shape-matching but impossible dates fail);
+    numeric/datetime mixes stay string; blanks don't block."""
+    cases = [
+        (["2024-01-02", "1999-12-31"], "datetime"),
+        (["2024-01-02 03:04:05", "2024-01-02T03:04:05",
+          "2024-01-02"], "datetime"),            # mixed ISO forms
+        (["2024-01-02", ""], "datetime"),        # blank = null, ignored
+        (["2024-13-45"], "string"),              # shape ok, invalid date
+        (["2024-01-02", "7"], "string"),         # datetime + int mix
+        (["2024-01-02", "hello"], "string"),
+        (["2024-01-02 03:04"], "string"),        # minutes-only not probed
+    ]
+    for vals, want in cases:
+        p = partials_for_table(pa.table({"c": vals}))["c"]
+        assert p.inferred_type() == want, (vals, want)
+    # merge across partials keeps the lattice
+    a = partials_for_table(pa.table({"c": ["2024-01-02"]}))["c"]
+    b = partials_for_table(pa.table({"c": ["2025-06-07"]}))["c"]
+    assert a.merge(b).inferred_type() == "datetime"
+    a = partials_for_table(pa.table({"c": ["2024-01-02"]}))["c"]
+    b = partials_for_table(pa.table({"c": ["nope"]}))["c"]
+    assert a.merge(b).inferred_type() == "string"
+
+
 def test_quantile_interpolation_matches_sql():
     vals = [1.0, 2.0, 3.0, 10.0]
     p = partials_for_table(pa.table({"x": vals}))["x"]
