@@ -262,3 +262,37 @@ def test_codec_dispatch_fake_and_gate():
         Image.fromarray(img).save(buf, format="PNG")
         arr2, fmt2 = IC.decode_rgb(buf.getvalue())
         assert fmt2 == "png" and np.array_equal(arr2, img)
+
+
+def test_fixture_chunked_equals_oneshot_and_resumes(ray_session, tmp_path):
+    """Scaling fixtures are generated in resumable chunks; a chunked
+    table must be bit-identical per row to the one-shot path (rows
+    derive only from default_rng([seed, row_id]) + total n_rows), and a
+    crash between chunks (done marker missing, stray tmp dir) must
+    re-generate only the lost chunk."""
+    from dataquality_cli_ray.fixtures.images import (
+        gen_rows,
+        generate_images_parquet,
+    )
+
+    n = 24_000
+    d = generate_images_parquet(n, out_dir=str(tmp_path), chunk_rows=10_000)
+    got = pq.read_table(d).sort_by("image_id")
+    want = gen_rows(np.arange(n), n).sort_by("image_id")
+    assert got.equals(want)
+
+    # simulate a crash after chunk 1: lose its done marker and files,
+    # leave a stray half-written tmp dir; chunks 0 and 2 stay published
+    os.remove(os.path.join(d, "_SUCCESS"))
+    os.remove(os.path.join(d, "_chunk_0001.done"))
+    for f in os.listdir(d):
+        if f.startswith("chunk0001_"):
+            os.remove(os.path.join(d, f))
+    os.makedirs(os.path.join(d, "_tmp_chunk_0001"))
+    d2 = generate_images_parquet(n, out_dir=str(tmp_path),
+                                 chunk_rows=10_000)
+    assert d2 == d and os.path.exists(os.path.join(d, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(d, "_tmp_chunk_0001"))
+    got2 = pq.read_table(d).sort_by("image_id")
+    assert got2.equals(want)
+    shutil.rmtree(d)
