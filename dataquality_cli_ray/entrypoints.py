@@ -668,6 +668,138 @@ def q_docs_winnow(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# corpus ops: decontamination, per-source cap, repetition, top n-grams
+# (pipelines/corpus_ops.py — training-data ops beyond the reference)
+# ---------------------------------------------------------------------------
+
+DECON_N, DECON_SPLIT = 5, 25     # word-gram width / benchmark id cutoff
+SOURCE_CAP_K = 10
+TOP_NGRAMS_N, TOP_NGRAMS_K = 2, 25
+
+
+def _word_gram_cte(n: int) -> str:
+    """Shared CTE: per-doc word n-grams under the EXACT semantics of
+    functions/wordgrams.py — split lower(coalesce(text,'')) on single
+    space (doubled spaces yield empty tokens), grams joined by single
+    space, docs with < n words contribute none."""
+    return f"""w AS (
+  SELECT doc_id, string_split(lower(coalesce(text,'')), ' ') AS ws
+  FROM documents),
+g AS (SELECT doc_id, array_to_string(ws[i:i+{n - 1}], ' ') AS s
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws)-{n}+1)) AS i FROM w))"""
+
+
+def sql_docs_decontaminate(n: int = DECON_N, split: int = DECON_SPLIT) -> str:
+    """TRUE word-n-gram overlap oracle: corpus doc (doc_id >= split) is
+    contaminated iff it shares any word n-gram STRING with the
+    benchmark slice (doc_id < split). The Ray side compares 64-bit
+    gram hashes (equal strings always agree; collision odds 2^-64 per
+    unequal pair — see corpus_ops.decontaminate docstring)."""
+    return f"""WITH {_word_gram_cte(n)},
+bench AS (SELECT DISTINCT s FROM g WHERE doc_id < {split}),
+hit AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (s)
+        WHERE doc_id >= {split})
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hit h USING (doc_id)
+WHERE d.doc_id >= {split} ORDER BY d.doc_id"""
+
+
+def q_docs_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Test-set decontamination (GPT-3 appendix-C method, Brown et al.
+    2020; n=13 on real corpora, n=5 here so the fixture's planted
+    near-dups exercise both outcomes): benchmark = doc_id < 25 stands
+    in for an eval suite; its n-gram hash set broadcasts once and the
+    corpus streams against it."""
+    import pyarrow as pa
+
+    from .pipelines import corpus_ops as CO
+
+    docs = read_parquet_small(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    bench_tbl = pa.concat_tables(
+        b for b in docs.filter(expr=f"doc_id < {DECON_SPLIT}")
+        .iter_batches(batch_format="pyarrow"))
+    bench = CO.benchmark_ngram_set(bench_tbl["text"], DECON_N)
+    out = CO.decontaminate(
+        docs.filter(expr=f"doc_id >= {DECON_SPLIT}"), bench, "text",
+        n=DECON_N)
+    df = out.select_columns(["doc_id", "contaminated"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_docs_source_cap(k: int = SOURCE_CAP_K) -> str:
+    return f"""SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn <= {k} ORDER BY doc_id"""
+
+
+def q_docs_source_cap(sf_dir: str) -> pd.DataFrame:
+    """Per-source cap (Common-Crawl-style per-domain quota): keep the
+    first K docs per source — exact ROW_NUMBER semantics via per-block
+    combiner + tree reduce (corpus_ops.cap_per_key); only <= K rows
+    per (key, block) ever leave a task."""
+    from .pipelines import corpus_ops as CO
+
+    docs = read_parquet_small(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "source"])
+    t = CO.cap_per_key(docs, "source", "doc_id", SOURCE_CAP_K)
+    df = t.to_pandas()[["doc_id", "source"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_docs_repetition() -> str:
+    dup = "(a.n_words - a.u)::DOUBLE / a.n_words"
+    top2 = "coalesce(m.m, 0)::DOUBLE / greatest(a.n_words - 1, 1)"
+    return f"""WITH w AS (
+  SELECT doc_id, string_split(lower(coalesce(text,'')), ' ') AS ws
+  FROM documents),
+flat AS (SELECT doc_id, unnest(ws) AS word FROM w),
+agg AS (SELECT doc_id, count(*) AS n_words, count(DISTINCT word) AS u
+        FROM flat GROUP BY doc_id),
+g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+       FROM (SELECT doc_id, ws,
+                    unnest(generate_series(1, len(ws)-1)) AS i FROM w)),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+m2 AS (SELECT doc_id, max(c) AS m FROM cnt GROUP BY doc_id)
+SELECT a.doc_id, a.n_words::BIGINT AS n_words,
+ {sql_round(dup, 6)} AS dup_word_frac,
+ {sql_round(top2, 6)} AS top2_frac
+FROM agg a LEFT JOIN m2 m USING (doc_id) ORDER BY a.doc_id"""
+
+
+def q_docs_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021
+    §A1.1): duplicate-word fraction and top-2-gram fraction, computed
+    from hashed word n-grams per batch — streams, no shuffle."""
+    from .pipelines import corpus_ops as CO
+
+    docs = read_parquet_small(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    df = CO.repetition_stats(docs).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_docs_top_ngrams(n: int = TOP_NGRAMS_N, k: int = TOP_NGRAMS_K) -> str:
+    return f"""WITH {_word_gram_cte(n)}
+SELECT s AS gram, count(*)::BIGINT AS cnt FROM g GROUP BY s
+ORDER BY cnt DESC, gram ASC LIMIT {k}"""
+
+
+def q_docs_top_ngrams(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide top-k frequent word 2-grams (boilerplate detection):
+    exact counts via per-block distinct-gram combiner + tree merge;
+    deterministic (cnt DESC, gram ASC) tie-break on both sides."""
+    from .pipelines import corpus_ops as CO
+
+    docs = read_parquet_small(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    t = CO.top_ngrams(docs, "text", TOP_NGRAMS_N, TOP_NGRAMS_K)
+    return t.to_pandas().reset_index(drop=True)
+
+
 def sql_docs_ngram_jaccard(threshold: float = 0.5) -> str:
     """TRUE exact-Jaccard self-join over the char-5-gram shingle sets
     (lowercased, pad-to-5 for short texts — the exact semantics of
@@ -1064,6 +1196,11 @@ def build_queries() -> dict:
         "docs_scrubbed": q_docs_scrubbed,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_fingerprints": q_docs_fingerprints,
+        # corpus ops (training-data scale operators)
+        "docs_decontaminate": q_docs_decontaminate,
+        "docs_source_cap": q_docs_source_cap,
+        "docs_repetition": q_docs_repetition,
+        "docs_top_ngrams": q_docs_top_ngrams,
         # embeddings
         "ann_topk": q_ann_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1117,6 +1254,10 @@ def build_oracles() -> dict:
         "docs_scrubbed": sql_docs_scrubbed(),
         "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
         "docs_fingerprints": sql_docs_fingerprints(),
+        "docs_decontaminate": sql_docs_decontaminate(),
+        "docs_source_cap": sql_docs_source_cap(),
+        "docs_repetition": sql_docs_repetition(),
+        "docs_top_ngrams": sql_docs_top_ngrams(),
         "ann_topk": sql_ann_topk(),
         "embedding_dup_pairs": sql_embedding_dup_pairs(),
         "docs_ngram_jaccard": sql_docs_ngram_jaccard(),

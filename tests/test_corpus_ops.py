@@ -1,0 +1,161 @@
+"""Corpus-op tests: word-n-gram kernel identities, decontamination,
+per-key caps, repetition stats — each pinned against an independent
+reference (scalar hash path, a pure-Python reimplementation, or
+DuckDB SQL over the same parquet)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dataquality_cli_ray.functions.hashing import stable_hash64_array
+from dataquality_cli_ray.functions.rounding import round_half_up
+from dataquality_cli_ray.functions.wordgrams import (
+    word_counts_batch, word_ngram_hashes_batch)
+
+SF = "/root/testdata/sf0.01"
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a a a a a",
+    "",                       # one empty word
+    "single",
+    "double  space",          # empty token between the spaces
+    " leading and trailing ",
+    None,                     # null -> ''
+    "x " * 500 + "y",         # long doc
+]
+
+
+def _py_ngrams(t, n):
+    words = ("" if t is None else t).lower().split(" ")
+    return [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 5, 8])
+def test_word_ngram_hashes_match_scalar_path(n):
+    """Kernel identity: the hash of every word n-gram equals
+    stable_hash64_array of the joined gram string."""
+    h, offs = word_ngram_hashes_batch(pa.array(TEXTS, type=pa.string()), n)
+    for d, t in enumerate(TEXTS):
+        grams = _py_ngrams(t, n)
+        got = h[offs[d]:offs[d + 1]]
+        assert len(got) == len(grams), (d, t)
+        if grams:
+            want = stable_hash64_array(
+                pa.array(grams, type=pa.string())).view(np.uint64)
+            assert np.array_equal(got, want), (d, t)
+
+
+def test_word_counts_batch():
+    w = word_counts_batch(pa.array(TEXTS, type=pa.string()))
+    want = [len(("" if t is None else t).split(" ")) for t in TEXTS]
+    assert w.tolist() == want
+
+
+def test_decontaminate_matches_sql(ray_session):
+    import ray.data as rd
+    from dataquality_cli_ray.pipelines.corpus_ops import (
+        benchmark_ngram_set, decontaminate)
+
+    n, split = 5, 25
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(f"""
+WITH w AS (SELECT doc_id, string_split(lower(coalesce(text,'')), ' ') AS ws
+           FROM documents),
+g AS (SELECT doc_id, array_to_string(ws[i:i+{n - 1}], ' ') AS s
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws)-{n}+1)) AS i FROM w)),
+bench AS (SELECT DISTINCT s FROM g WHERE doc_id < {split}),
+hit AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (s)
+        WHERE doc_id >= {split})
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hit h USING (doc_id)
+WHERE d.doc_id >= {split} ORDER BY d.doc_id""").fetch_arrow_table()
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    bench_tbl = pa.concat_tables(
+        b for b in docs.filter(expr=f"doc_id < {split}")
+        .select_columns(["text"]).iter_batches(batch_format="pyarrow"))
+    bench = benchmark_ngram_set(bench_tbl["text"], n)
+    out = (decontaminate(docs.filter(expr=f"doc_id >= {split}"),
+                         bench, "text", n=n)
+           .select_columns(["doc_id", "contaminated"])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    wf = want.to_pandas()
+    assert out["doc_id"].tolist() == wf["doc_id"].tolist()
+    assert out["contaminated"].tolist() == wf["contaminated"].tolist()
+    # the fixture must exercise both outcomes or the test proves nothing
+    assert 0 < out["contaminated"].sum() < len(out)
+
+
+def test_cap_per_key_matches_sql(ray_session):
+    import ray.data as rd
+    from dataquality_cli_ray.pipelines.corpus_ops import cap_per_key
+
+    k = 7
+    con = duckdb.connect()
+    want = con.execute(f"""
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM read_parquet('{SF}/documents.parquet')) WHERE rn <= {k}
+ORDER BY source, doc_id""").fetch_arrow_table()
+    # small blocks so the tree reduce actually merges multiple partials
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           override_num_blocks=8)
+    got = cap_per_key(docs, "source", "doc_id", k)
+    assert got.column("source").to_pylist() == want.column("source").to_pylist()
+    assert got.column("doc_id").to_pylist() == want.column("doc_id").to_pylist()
+
+
+def test_top_ngrams_matches_sql(ray_session):
+    import ray.data as rd
+    from dataquality_cli_ray.pipelines.corpus_ops import top_ngrams
+
+    n, k = 2, 15
+    con = duckdb.connect()
+    want = con.execute(f"""
+WITH w AS (SELECT string_split(lower(coalesce(text,'')), ' ') AS ws
+           FROM read_parquet('{SF}/documents.parquet')),
+g AS (SELECT array_to_string(ws[i:i+{n - 1}], ' ') AS s
+      FROM (SELECT ws, unnest(generate_series(1, len(ws)-{n}+1)) AS i
+            FROM w))
+SELECT s AS gram, count(*)::BIGINT AS cnt FROM g GROUP BY s
+ORDER BY cnt DESC, gram ASC LIMIT {k}""").fetch_arrow_table()
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           override_num_blocks=8)
+    got = top_ngrams(docs, "text", n, k)
+    assert got.column("gram").to_pylist() == want.column("gram").to_pylist()
+    assert got.column("cnt").to_pylist() == want.column("cnt").to_pylist()
+
+
+def test_repetition_stats_match_python(ray_session):
+    """Pure-Python reference over the fixture corpus."""
+    import ray.data as rd
+    from dataquality_cli_ray.pipelines.corpus_ops import repetition_stats
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    out = (repetition_stats(docs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    texts = {r["doc_id"]: r["text"] for b in
+             rd.read_parquet(f"{SF}/documents.parquet")
+             .select_columns(["doc_id", "text"])
+             .iter_batches(batch_format="pandas")
+             for r in b.to_dict("records")}
+    import collections
+    for _, row in out.sample(n=60, random_state=0).iterrows():
+        words = (texts[row["doc_id"]] or "").lower().split(" ")
+        assert row["n_words"] == len(words)
+        dup = (len(words) - len(set(words))) / len(words)
+        assert row["dup_word_frac"] == round_half_up(dup, 6)
+        if len(words) >= 2:
+            g2 = collections.Counter(
+                zip(words, words[1:]))
+            top2 = max(g2.values()) / (len(words) - 1)
+        else:
+            top2 = 0.0
+        assert row["top2_frac"] == round_half_up(top2, 6)
