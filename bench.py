@@ -138,6 +138,31 @@ def run_benchmarks() -> dict:
     timed("docs_length_histogram", lambda: TQ.token_length_histogram(
         read_parquet_small(f"{SF_DIR}/documents.parquet")).count())
 
+    from dataquality_cli_ray.pipelines import corpus_ops as CO
+
+    def _decon():
+        import pyarrow as pa
+        docs = read_parquet_small(f"{SF_DIR}/documents.parquet",
+                                  columns=["doc_id", "text"])
+        bench_tbl = pa.concat_tables(
+            b for b in docs.filter(expr="doc_id < 25")
+            .iter_batches(batch_format="pyarrow"))
+        CO.decontaminate(docs.filter(expr="doc_id >= 25"),
+                         CO.benchmark_ngram_set(bench_tbl["text"], 5),
+                         "text", n=5).count()
+
+    timed("docs_decontaminate", _decon)
+    timed("docs_top_ngrams", lambda: CO.top_ngrams(
+        read_parquet_small(f"{SF_DIR}/documents.parquet", columns=["text"]),
+        "text", 2, 25))
+    timed("docs_repetition", lambda: CO.repetition_stats(
+        read_parquet_small(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"])).count())
+    timed("docs_source_cap", lambda: CO.cap_per_key(
+        read_parquet_small(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "source"]),
+        "source", "doc_id", 10))
+
     def _ann():
         Q, qids = SIM.load_query_vectors(SF_DIR, 10)
         SIM.brute_force_topk(
