@@ -158,6 +158,10 @@ def run_benchmarks() -> dict:
     timed("docs_repetition", lambda: CO.repetition_stats(
         read_parquet_small(f"{SF_DIR}/documents.parquet",
                            columns=["doc_id", "text"])).count())
+    timed("docs_chunks", lambda: CO.chunk_windows(
+        read_parquet_small(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"]),
+        "text", "doc_id", 24, 8).count())
     timed("docs_source_cap", lambda: CO.cap_per_key(
         read_parquet_small(f"{SF_DIR}/documents.parquet",
                            columns=["doc_id", "source"]),

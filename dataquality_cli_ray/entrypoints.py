@@ -800,6 +800,37 @@ def q_docs_top_ngrams(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas().reset_index(drop=True)
 
 
+CHUNK_W, CHUNK_O = 24, 8          # window / overlap (words)
+
+
+def sql_docs_chunks(window: int = CHUNK_W, overlap: int = CHUNK_O) -> str:
+    step = window - overlap
+    return f"""WITH w AS (
+  SELECT doc_id, string_split(lower(coalesce(text,'')), ' ') AS ws
+  FROM documents),
+st AS (SELECT doc_id, ws,
+              unnest(generate_series(1, greatest(len(ws) - {overlap}, 1),
+                                     {step})) AS s
+       FROM w)
+SELECT doc_id, ((s - 1) // {step})::BIGINT AS chunk_id,
+       array_to_string(ws[s:least(s + {window} - 1, len(ws))], ' ') AS chunk,
+       (least(s + {window} - 1, len(ws)) - s + 1)::BIGINT AS n_words
+FROM st ORDER BY doc_id, chunk_id"""
+
+
+def q_docs_chunks(sf_dir: str) -> pd.DataFrame:
+    """LM-training context-window chunking (explode one doc into
+    overlapping word windows, full coverage, no subset chunks) —
+    corpus_ops.chunk_windows; streams per batch."""
+    from .pipelines import corpus_ops as CO
+
+    docs = read_parquet_small(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    df = CO.chunk_windows(docs, "text", "doc_id",
+                          window=CHUNK_W, overlap=CHUNK_O).to_pandas()
+    return df.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
 def sql_docs_ngram_jaccard(threshold: float = 0.5) -> str:
     """TRUE exact-Jaccard self-join over the char-5-gram shingle sets
     (lowercased, pad-to-5 for short texts — the exact semantics of
@@ -1201,6 +1232,7 @@ def build_queries() -> dict:
         "docs_source_cap": q_docs_source_cap,
         "docs_repetition": q_docs_repetition,
         "docs_top_ngrams": q_docs_top_ngrams,
+        "docs_chunks": q_docs_chunks,
         # embeddings
         "ann_topk": q_ann_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1258,6 +1290,7 @@ def build_oracles() -> dict:
         "docs_source_cap": sql_docs_source_cap(),
         "docs_repetition": sql_docs_repetition(),
         "docs_top_ngrams": sql_docs_top_ngrams(),
+        "docs_chunks": sql_docs_chunks(),
         "ann_topk": sql_ann_topk(),
         "embedding_dup_pairs": sql_embedding_dup_pairs(),
         "docs_ngram_jaccard": sql_docs_ngram_jaccard(),

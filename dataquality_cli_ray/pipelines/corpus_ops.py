@@ -32,7 +32,9 @@ import ray.data as rd
 
 from ..functions.hashing import dedupe_per_doc
 from ..functions.rounding import round_half_up
-from ..functions.wordgrams import word_ngram_hashes_batch
+from ..functions.wordgrams import (
+    hash_spans, lower_filled, spans_to_strings, word_bounds,
+    word_ngram_hashes_batch, word_ngram_spans_batch)
 
 logger = logging.getLogger(__name__)
 
@@ -167,74 +169,18 @@ def cap_per_key(
 # corpus-wide top-k frequent n-grams                                 #
 # ---------------------------------------------------------------- #
 
-def _spans_to_strings(seg: np.ndarray, starts: np.ndarray,
-                      ends: np.ndarray) -> pa.Array:
-    """Materialize byte spans of one batch segment as an Arrow string
-    array (one gather; only called on per-batch DISTINCT grams, so the
-    copied volume is small)."""
-    lens = (ends - starts).astype(np.int64)
-    out_offs = np.zeros(len(lens) + 1, dtype=np.int64)
-    np.cumsum(lens, out=out_offs[1:])
-    total = int(out_offs[-1])
-    if total >= (1 << 31):  # int32 Arrow offsets guard
-        raise ValueError("distinct-gram bytes exceed one string array")
-    idx = (np.arange(total, dtype=np.int64)
-           - np.repeat(out_offs[:-1], lens) + np.repeat(starts, lens))
-    data = seg[idx] if total else np.empty(0, dtype=np.uint8)
-    return pa.StringArray.from_buffers(
-        len(lens), pa.py_buffer(out_offs.astype(np.int32).tobytes()),
-        pa.py_buffer(data.tobytes()))
-
-
 def _ngram_count_partial(batch: pa.Table, text_col: str, n: int) -> pa.Table:
     """Per-batch combiner: (gram string, count) for the batch's
     DISTINCT word n-grams. Counting happens on uint64 gram hashes
     (one np.unique); strings are materialized once per distinct gram
     from its first occurrence's byte span."""
-    texts = batch[text_col].combine_chunks() if isinstance(
-        batch[text_col], pa.ChunkedArray) else batch[text_col]
-    texts = pc.utf8_lower(pc.fill_null(texts, ""))
-    h, offs = word_ngram_hashes_batch(texts, n)
-    if len(h) == 0:
+    seg, starts, ends, _ = word_ngram_spans_batch(batch[text_col], n)
+    if len(starts) == 0:
         return pa.table({"gram": pa.array([], type=pa.string()),
                          "cnt": pa.array([], type=pa.int64())})
-    uh, first, cnt = np.unique(h, return_index=True, return_counts=True)
-    # recover each representative gram's byte span (same derivation as
-    # the kernel's — recomputed here on the lowered array's buffers)
-    nd = len(texts)
-    bufs = texts.buffers()
-    odt = (np.int64 if pa.types.is_large_string(texts.type) else np.int32)
-    doffs = np.frombuffer(bufs[1], dtype=odt)[
-        texts.offset: texts.offset + nd + 1].astype(np.int64)
-    data = (np.frombuffer(bufs[2], dtype=np.uint8)
-            if bufs[2] is not None else np.empty(0, dtype=np.uint8))
-    a0 = int(doffs[0])
-    doffs = doffs - a0
-    seg = data[a0: a0 + int(doffs[-1])]
-    sp = np.flatnonzero(seg == 0x20).astype(np.int64)
-    d_sp = np.searchsorted(doffs, sp, side="right") - 1
-    docs = np.arange(nd, dtype=np.int64)
-    ws = np.concatenate([doffs[:-1], sp + 1])
-    ws_doc = np.concatenate([docs, d_sp])
-    o = np.lexsort((ws, ws_doc))
-    ws = ws[o]
-    we = np.concatenate([sp, doffs[1:]])
-    we_doc = np.concatenate([d_sp, docs])
-    o = np.lexsort((we, we_doc))
-    we = we[o]
-    w_per_doc = np.bincount(ws_doc, minlength=nd)
-    word_offs = np.zeros(nd + 1, dtype=np.int64)
-    np.cumsum(w_per_doc, out=word_offs[1:])
-    g = np.maximum(w_per_doc - (n - 1), 0)
-    gram_docs = np.repeat(docs, g)
-    gram_offs = np.zeros(nd + 1, dtype=np.int64)
-    np.cumsum(g, out=gram_offs[1:])
-    k_in_doc = np.arange(int(gram_offs[-1]), dtype=np.int64) \
-        - gram_offs[gram_docs]
-    si = word_offs[gram_docs] + k_in_doc
-    starts = ws[si][first]
-    ends = we[si + (n - 1)][first]
-    grams = _spans_to_strings(seg, starts, ends)
+    h = hash_spans(seg, starts, ends)
+    _, first, cnt = np.unique(h, return_index=True, return_counts=True)
+    grams = spans_to_strings(seg, starts[first], ends[first])
     return pa.table({"gram": grams, "cnt": pa.array(cnt, type=pa.int64())})
 
 
@@ -292,6 +238,64 @@ def top_ngrams(
     idx = pc.sort_indices(merged, sort_keys=[("cnt", "descending"),
                                              ("gram", "ascending")])
     return merged.take(idx[:k])
+
+
+# ---------------------------------------------------------------- #
+# context-window chunking                                            #
+# ---------------------------------------------------------------- #
+
+def chunk_windows(
+    ds: "rd.Dataset", text_col: str = "text", id_col: str = "doc_id",
+    window: int = 64, overlap: int = 16,
+) -> "rd.Dataset":
+    """Split documents into overlapping fixed-size word windows — the
+    LM-training context-window chunking step (explode: one input row
+    -> ceil(max(n-overlap,1)/(window-overlap)) output rows).
+
+    Chunk starts are 0, step, 2*step, ... (step = window - overlap)
+    while start <= max(n_words - overlap - 1, 0), which guarantees
+    full coverage (last chunk reaches the final word) with no chunk
+    fully contained in its predecessor. Output columns: ``id_col``,
+    ``chunk_id`` (0-based), ``chunk`` (the window's words joined by
+    single space — the exact original byte span), ``n_words``.
+
+    Streams per batch; the only materialized bytes are the chunk
+    strings themselves (~ n/step x overlap extra bytes per doc).
+    """
+    if overlap >= window:
+        raise ValueError("overlap must be < window")
+    step = window - overlap
+
+    def explode(batch: pa.Table) -> pa.Table:
+        arr = lower_filled(batch[text_col])
+        nd = len(arr)
+        if nd == 0:
+            return pa.table({
+                id_col: batch[id_col],
+                "chunk_id": pa.array([], type=pa.int64()),
+                "chunk": pa.array([], type=pa.string()),
+                "n_words": pa.array([], type=pa.int64())})
+        seg, ws, we, word_offs, w = word_bounds(arr)
+        # chunks per doc: starts 0..upper step `step`, upper = max(n-overlap-1, 0)
+        upper = np.maximum(w - overlap - 1, 0)
+        n_chunks = upper // step + 1
+        c_offs = np.zeros(nd + 1, dtype=np.int64)
+        np.cumsum(n_chunks, out=c_offs[1:])
+        C = int(c_offs[-1])
+        doc_of_c = np.repeat(np.arange(nd, dtype=np.int64), n_chunks)
+        chunk_id = np.arange(C, dtype=np.int64) - c_offs[doc_of_c]
+        first_w = chunk_id * step
+        last_w = np.minimum(first_w + window, w[doc_of_c]) - 1
+        starts = ws[word_offs[doc_of_c] + first_w]
+        ends = we[word_offs[doc_of_c] + last_w]
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(doc_of_c)),
+            "chunk_id": pa.array(chunk_id, type=pa.int64()),
+            "chunk": spans_to_strings(seg, starts, ends),
+            "n_words": pa.array(last_w - first_w + 1, type=pa.int64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=4096)
 
 
 # ---------------------------------------------------------------- #

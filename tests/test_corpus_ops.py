@@ -133,6 +133,51 @@ ORDER BY cnt DESC, gram ASC LIMIT {k}""").fetch_arrow_table()
     assert got.column("cnt").to_pylist() == want.column("cnt").to_pylist()
 
 
+@pytest.mark.parametrize("window,overlap", [(24, 8), (8, 0), (4, 3)])
+def test_chunk_windows_matches_python(ray_session, window, overlap):
+    """Pure-Python chunking reference: coverage, ids, exact strings."""
+    import ray.data as rd
+    from dataquality_cli_ray.pipelines.corpus_ops import chunk_windows
+
+    step = window - overlap
+    docs = rd.read_parquet(f"{SF}/documents.parquet").limit(80)
+    out = (chunk_windows(docs, "text", "doc_id", window, overlap)
+           .to_pandas().sort_values(["doc_id", "chunk_id"]))
+    texts = {r["doc_id"]: r["text"] for b in
+             rd.read_parquet(f"{SF}/documents.parquet").limit(80)
+             .iter_batches(batch_format="pandas")
+             for r in b.to_dict("records")}
+    got = {(r.doc_id, r.chunk_id): (r.chunk, r.n_words)
+           for r in out.itertuples()}
+    want = {}
+    for did, t in texts.items():
+        words = (t or "").lower().split(" ")
+        n = len(words)
+        starts = list(range(0, max(n - overlap - 1, 0) + 1, step))
+        for ci, s in enumerate(starts):
+            chunk = words[s:s + window]
+            want[(did, ci)] = (" ".join(chunk), len(chunk))
+    assert got == want
+
+
+def test_entry_contract(ray_session):
+    """Driver contract: entry() returns rows with a stable schema;
+    every queries() key has an oracle_sql() twin (the round-3 repo
+    keeps zero rows-only queries)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    assert set(oracles) == set(qs)
+    assert all(callable(f) for f in qs.values())
+    out = E.entry()
+    df = out.to_pandas()
+    assert len(df) > 0
+    assert {"doc_id", "keep", "caption_scrubbed"} <= set(df.columns)
+
+
 def test_repetition_stats_match_python(ray_session):
     """Pure-Python reference over the fixture corpus."""
     import ray.data as rd
