@@ -41,6 +41,13 @@ _PINV = np.uint64(pow(int(_FNV_PRIME), -1, 1 << 64))
 _POW_SERIES: dict[int, np.ndarray] = {}
 
 
+# tables above this length are built per call instead of cached —
+# one pathological batch (e.g. a single 500 MB document) must not pin
+# gigabytes in every worker for the process lifetime (same rule as the
+# image-stage scratch cap, ADVICE r2)
+_POW_CACHE_MAX = 1 << 24
+
+
 def _pow_series(base: np.uint64, n: int) -> np.ndarray:
     t = _POW_SERIES.get(int(base))
     if t is None or len(t) < n:
@@ -49,7 +56,8 @@ def _pow_series(base: np.uint64, n: int) -> np.ndarray:
         t[0] = np.uint64(1)
         with np.errstate(over="ignore"):
             np.cumprod(t, out=t)  # uint64 wraps mod 2^64 (C semantics)
-        _POW_SERIES[int(base)] = t
+        if size <= _POW_CACHE_MAX:
+            _POW_SERIES[int(base)] = t
     return t
 
 
