@@ -165,6 +165,57 @@ def cmd_quality(args) -> int:
     return 0
 
 
+def cmd_corpus(args) -> int:
+    """Corpus-level training-data ops over a parquet file/dir input.
+
+    Dataset-shaped results stream to ``--output`` via write_parquet;
+    small aggregate results (top-ngrams, source-cap winner set) are
+    written as one parquet file.
+    """
+    _ray_session(args.num_cpus)
+    import pyarrow.parquet as pq
+
+    from .pipelines import corpus_ops as CO
+    from .pipelines import dedup as DD
+    from .sources.readers import read_parquet_fast
+
+    t0 = time.time()
+    ds = read_parquet_fast(args.input)
+    op, small = args.op, None
+    if op == "decontaminate":
+        bench_tbl = pq.read_table(args.bench, columns=[args.text_col])
+        bench = CO.benchmark_ngram_set(bench_tbl[args.text_col], args.ngram)
+        out = CO.decontaminate(ds, bench, args.text_col, n=args.ngram,
+                               drop=args.drop)
+    elif op == "chunk":
+        out = CO.chunk_windows(ds, args.text_col, args.id_col,
+                               window=args.window, overlap=args.overlap)
+    elif op == "repetition":
+        out = CO.repetition_stats(ds, args.text_col, args.id_col)
+    elif op == "dedup-exact":
+        out = DD.exact_dedup_by_text(ds, args.text_col, args.id_col)
+    elif op == "minhash-pairs":
+        out = DD.minhash_lsh_pairs(ds, args.text_col, args.id_col,
+                                   threshold=args.threshold)
+    elif op == "source-cap":
+        small = CO.cap_per_key(ds, args.key_col, args.id_col, args.k)
+    elif op == "top-ngrams":
+        small = CO.top_ngrams(ds, args.text_col, args.ngram, args.k)
+    else:  # pragma: no cover - argparse choices guard this
+        print(f"unknown corpus op {op}", file=sys.stderr)
+        return 2
+    if small is not None:
+        os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+        pq.write_table(small, args.output)
+        n = small.num_rows
+    else:
+        out.write_parquet(args.output)
+        n = out.count()
+    print({"op": op, "rows_out": n, "output": args.output,
+           "elapsed_sec": round(time.time() - t0, 3)})
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="dataquality_cli_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -191,6 +242,30 @@ def main(argv=None) -> int:
                    help="phash-dedup aggregation: driver merge below "
                         "the footer-row threshold, groupby shuffle above")
     q.set_defaults(fn=cmd_quality)
+
+    c = sub.add_parser("corpus", help="corpus-level training-data ops")
+    c.add_argument("op", choices=["decontaminate", "chunk", "repetition",
+                                  "dedup-exact", "minhash-pairs",
+                                  "source-cap", "top-ngrams"])
+    c.add_argument("--input", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--key-col", default="source",
+                   help="source-cap partition key")
+    c.add_argument("--bench", help="benchmark parquet (decontaminate)")
+    c.add_argument("--ngram", type=int, default=13,
+                   help="word-gram width (decontaminate / top-ngrams)")
+    c.add_argument("--drop", action="store_true",
+                   help="decontaminate: drop hits instead of flagging")
+    c.add_argument("--window", type=int, default=512)
+    c.add_argument("--overlap", type=int, default=64)
+    c.add_argument("--k", type=int, default=25,
+                   help="top-ngrams k / source-cap K")
+    c.add_argument("--threshold", type=float, default=0.5,
+                   help="minhash-pairs jaccard threshold")
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_corpus)
 
     args = ap.parse_args(argv)
     rc = args.fn(args)

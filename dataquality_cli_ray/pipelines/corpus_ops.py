@@ -68,10 +68,11 @@ def benchmark_ngram_set(texts, n: int) -> np.ndarray:
 
 def decontaminate(
     ds: "rd.Dataset", bench_hashes: np.ndarray, text_col: str = "text",
-    n: int = 8, flag_col: str = "contaminated",
+    n: int = 8, flag_col: str = "contaminated", drop: bool = False,
 ) -> "rd.Dataset":
     """Append ``flag_col`` = True where a document shares ANY word
-    n-gram with the benchmark set.
+    n-gram with the benchmark set (``drop=True`` filters those rows
+    out per batch instead of flagging them).
 
     Scale: the benchmark side is one sorted uint64 array shipped via
     ``ray.put`` (13-gram sets of real eval suites are ~1e6-1e7 hashes
@@ -96,6 +97,8 @@ def decontaminate(
             doc_idx = np.repeat(
                 np.arange(nd, dtype=np.int64), np.diff(offs))
             cont = np.bincount(doc_idx[hit], minlength=nd) > 0
+        if drop:
+            return batch.filter(pa.array(~cont))
         return batch.append_column(flag_col, pa.array(cont))
 
     return ds.map_batches(mark, batch_format="pyarrow", batch_size=4096)

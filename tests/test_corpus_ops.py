@@ -178,6 +178,39 @@ def test_entry_contract(ray_session):
     assert {"doc_id", "keep", "caption_scrubbed"} <= set(df.columns)
 
 
+def test_corpus_cli(ray_session, tmp_path):
+    """corpus subcommand end-to-end: dataset-shaped and small-aggregate
+    outputs land as parquet (cmd_corpus is called directly — main()
+    owns/tears down the Ray session, the test fixture does here)."""
+    from argparse import Namespace
+
+    import pyarrow.parquet as pq
+
+    from dataquality_cli_ray.cli import cmd_corpus
+
+    base = dict(input=f"{SF}/documents.parquet", text_col="text",
+                id_col="doc_id", key_col="source", num_cpus=4, ngram=5,
+                drop=False, window=24, overlap=8, k=5, threshold=0.5,
+                bench=None)
+    assert cmd_corpus(Namespace(
+        **{**base, "op": "chunk", "output": str(tmp_path / "chunks")})) == 0
+    t = pq.read_table(str(tmp_path / "chunks"))
+    assert t.num_rows >= 500 and "chunk" in t.column_names
+    assert cmd_corpus(Namespace(
+        **{**base, "op": "top-ngrams", "ngram": 2,
+           "output": str(tmp_path / "top.parquet")})) == 0
+    assert pq.read_table(str(tmp_path / "top.parquet")).num_rows == 5
+    assert cmd_corpus(Namespace(
+        **{**base, "op": "decontaminate",
+           "bench": f"{SF}/documents.parquet",
+           "output": str(tmp_path / "flagged")})) == 0
+    f = pq.read_table(str(tmp_path / "flagged"))
+    # bench == corpus: every doc with >= 5 words flags against itself
+    assert f.num_rows == 500
+    import pyarrow.compute as pc
+    assert pc.sum(f["contaminated"]).as_py() > 450
+
+
 def test_repetition_stats_match_python(ray_session):
     """Pure-Python reference over the fixture corpus."""
     import ray.data as rd
