@@ -47,6 +47,46 @@ def test_word_ngram_hashes_match_scalar_path(n):
             assert np.array_equal(got, want), (d, t)
 
 
+def test_word_ngram_hashes_property():
+    """Property test: random unicode texts (spaces, multi-byte
+    codepoints, empties, nulls) — kernel grams match a pure-Python
+    split over the SAME (Arrow-lowered) strings. Multi-byte UTF-8
+    never contains 0x20 bytes, so byte-level space splitting must
+    agree with str.split(' ')."""
+    import pyarrow.compute as pc
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    texts_st = st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.one_of(
+                    st.sampled_from(" aé日\t"),
+                    st.characters(min_codepoint=32, max_codepoint=1000)),
+                max_size=40)),
+        max_size=20)
+
+    @settings(max_examples=150, deadline=None)
+    @given(texts=texts_st, n=st.integers(1, 4))
+    def check(texts, n):
+        arr = pa.array(texts, type=pa.string())
+        h, offs = word_ngram_hashes_batch(arr, n)
+        lowered = pc.utf8_lower(pc.fill_null(arr, "")).to_pylist()
+        for d, t in enumerate(lowered):
+            words = t.split(" ")
+            grams = [" ".join(words[i:i + n])
+                     for i in range(len(words) - n + 1)]
+            got = h[offs[d]:offs[d + 1]]
+            assert len(got) == len(grams)
+            if grams:
+                want = stable_hash64_array(
+                    pa.array(grams, type=pa.string())).view(np.uint64)
+                assert np.array_equal(got, want)
+
+    check()
+
+
 def test_word_counts_batch():
     w = word_counts_batch(pa.array(TEXTS, type=pa.string()))
     want = [len(("" if t is None else t).split(" ")) for t in TEXTS]
