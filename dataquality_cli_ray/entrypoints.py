@@ -831,6 +831,88 @@ def q_docs_chunks(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
 
 
+QF_Q = 0.25                       # quantile-filter cut fraction
+PACK_BUDGET = 512                 # packing bin size (ws tokens)
+STRAT_FRAC = 0.25                 # stratified-sample keep fraction
+
+
+def _sql_tok() -> str:
+    """Whitespace token count — EXACT expression shared with
+    sql_docs_token_stats (functions.text.token_count_ws semantics)."""
+    return f"length(regexp_extract_all({_trim('text')}, '\\S+'))::BIGINT"
+
+
+def sql_docs_quantile_filter(q: float = QF_Q) -> str:
+    return f"""WITH t AS (SELECT doc_id, {_sql_tok()} AS n_tokens FROM documents)
+SELECT doc_id, n_tokens FROM t
+WHERE n_tokens >= (SELECT quantile_cont(n_tokens, {q}) FROM t)
+ORDER BY doc_id"""
+
+
+def q_docs_quantile_filter(sf_dir: str) -> pd.DataFrame:
+    """Global-quantile threshold filter (drop the bottom-q of docs by
+    token count): exact integer-histogram quantile in pass 1 (tiny
+    per-block (value,count) partials — exact at ANY corpus size,
+    unlike a value-buffer sketch), scalar threshold filter in pass 2
+    (corpus_ops.quantile_threshold_filter)."""
+    from .pipelines import corpus_ops as CO
+
+    docs = read_parquet_small(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    df = CO.quantile_threshold_filter(docs, "text", "doc_id",
+                                      q=QF_Q).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_docs_pack(budget: int = PACK_BUDGET) -> str:
+    return f"""WITH t AS (SELECT doc_id, {_sql_tok()} AS n_tokens FROM documents),
+s AS (SELECT doc_id, n_tokens,
+  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok
+  FROM t)
+SELECT doc_id, n_tokens, start_tok, (start_tok // {budget})::BIGINT AS bin
+FROM s ORDER BY doc_id"""
+
+
+def q_docs_pack(sf_dir: str) -> pd.DataFrame:
+    """Concatenate-and-chunk sequence packing (GPT-style: cumulative
+    token offset in id order, bin = offset // budget) — a distributed
+    prefix sum: 3 ints per block to the driver, exclusive scan,
+    per-block finalize (corpus_ops.pack_sequences)."""
+    from .pipelines import corpus_ops as CO
+
+    docs = read_parquet_small(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    df = CO.pack_sequences(docs, "text", "doc_id",
+                           budget=PACK_BUDGET).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_docs_stratified_sample(frac: float = STRAT_FRAC) -> str:
+    return f"""WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM documents)
+SELECT doc_id, source FROM r WHERE rn <= ceil({frac} * cnt)
+ORDER BY doc_id"""
+
+
+def q_docs_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Corpus-mix rebalancing: proportional stratified sample — keep
+    the first ceil(frac*count) docs per source (exact per-key counts
+    pass + the associative per-key-cap tree;
+    corpus_ops.stratified_sample_per_key)."""
+    from .pipelines import corpus_ops as CO
+
+    docs = read_parquet_small(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "source"])
+    t = CO.stratified_sample_per_key(docs, "source", "doc_id",
+                                     frac=STRAT_FRAC)
+    df = t.to_pandas()[["doc_id", "source"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def sql_docs_ngram_jaccard(threshold: float = 0.5) -> str:
     """TRUE exact-Jaccard self-join over the char-5-gram shingle sets
     (lowercased, pad-to-5 for short texts — the exact semantics of
@@ -1233,6 +1315,9 @@ def build_queries() -> dict:
         "docs_repetition": q_docs_repetition,
         "docs_top_ngrams": q_docs_top_ngrams,
         "docs_chunks": q_docs_chunks,
+        "docs_quantile_filter": q_docs_quantile_filter,
+        "docs_pack": q_docs_pack,
+        "docs_stratified_sample": q_docs_stratified_sample,
         # embeddings
         "ann_topk": q_ann_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1291,6 +1376,9 @@ def build_oracles() -> dict:
         "docs_repetition": sql_docs_repetition(),
         "docs_top_ngrams": sql_docs_top_ngrams(),
         "docs_chunks": sql_docs_chunks(),
+        "docs_quantile_filter": sql_docs_quantile_filter(),
+        "docs_pack": sql_docs_pack(),
+        "docs_stratified_sample": sql_docs_stratified_sample(),
         "ann_topk": sql_ann_topk(),
         "embedding_dup_pairs": sql_embedding_dup_pairs(),
         "docs_ngram_jaccard": sql_docs_ngram_jaccard(),

@@ -23,6 +23,7 @@ true DuckDB SQL oracles in entrypoints.py.
 from __future__ import annotations
 
 import logging
+import math
 
 import numpy as np
 import pyarrow as pa
@@ -30,6 +31,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..functions import text as T
 from ..functions.hashing import dedupe_per_doc
 from ..functions.rounding import round_half_up
 from ..functions.wordgrams import (
@@ -108,10 +110,15 @@ def decontaminate(
 # per-key cap (keep first K per key)                                 #
 # ---------------------------------------------------------------- #
 
-def _cap_partial(t: pa.Table, key_col: str, id_col: str, k: int) -> pa.Table:
+def _cap_partial(t: pa.Table, key_col: str, id_col: str, k: int,
+                 caps: pa.Table | None = None) -> pa.Table:
     """Exact per-batch combiner: the K smallest ids per key present in
     the batch (string keys compared exactly via dictionary encoding —
-    no hashing). Output <= K rows per distinct key in the batch."""
+    no hashing). Output <= K rows per distinct key in the batch.
+
+    With ``caps`` (a tiny ``(key_col, cap)`` table) the cap is looked
+    up per key instead of the scalar ``k``; keys absent from ``caps``
+    are dropped (cap 0)."""
     if t.num_rows == 0:
         return t.select([key_col, id_col])
     idx = pc.sort_indices(t, sort_keys=[(key_col, "ascending"),
@@ -124,17 +131,24 @@ def _cap_partial(t: pa.Table, key_col: str, id_col: str, k: int) -> pa.Table:
     starts = np.flatnonzero(new)
     run_len = np.diff(np.append(starts, len(codes)))
     rank = np.arange(len(codes), dtype=np.int64) - np.repeat(starts, run_len)
-    return t.filter(pa.array(rank < k))
+    if caps is None:
+        return t.filter(pa.array(rank < k))
+    pos = pc.index_in(t[key_col], value_set=caps[key_col]) \
+        .combine_chunks().fill_null(-1) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    cap_k = np.append(
+        caps["cap"].to_numpy(zero_copy_only=False).astype(np.int64), 0)
+    return t.filter(pa.array(rank < cap_k[pos]))
 
 
 @ray.remote
-def _cap_combine(key_col: str, id_col: str, k: int, *parts) -> pa.Table:
-    return _cap_partial(pa.concat_tables(parts), key_col, id_col, k)
+def _cap_combine(key_col: str, id_col: str, k: int, caps, *parts) -> pa.Table:
+    return _cap_partial(pa.concat_tables(parts), key_col, id_col, k, caps)
 
 
 def cap_per_key(
     ds: "rd.Dataset", key_col: str, id_col: str, k: int,
-    combine_group: int = 16,
+    combine_group: int = 16, caps: pa.Table | None = None,
 ) -> pa.Table:
     """Keep the first K rows per key (ids ascending) — returns the kept
     ``(key, id)`` table, sorted by (key, id).
@@ -147,9 +161,17 @@ def cap_per_key(
     winner set itself outgrows one node, partition the tree by
     ``hash(key) % P`` first — same exchange the dup reduce uses
     (quality.dup_losers_from_refs); not needed below ~1e8 keys.
+
+    ``caps`` replaces the scalar ``k`` with a per-key cap table
+    (``(key_col, cap)``) — see :func:`stratified_sample_per_key`. The
+    combiner stays exact because capping to per-key k is associative
+    the same way the fixed-k cap is.
     """
+    caps_ref = ray.put(caps) if caps is not None else None
     parts = ds.select_columns([key_col, id_col]).map_batches(
-        lambda t: _cap_partial(t, key_col, id_col, k),
+        lambda t: _cap_partial(
+            t, key_col, id_col, k,
+            _cached_ref(caps_ref) if caps_ref is not None else None),
         batch_format="pyarrow", batch_size=65536,
     )
     refs = []
@@ -157,7 +179,8 @@ def cap_per_key(
         refs.extend(bundle.block_refs)
     while len(refs) > 1:
         refs = [
-            _cap_combine.remote(key_col, id_col, k, *refs[i:i + combine_group])
+            _cap_combine.remote(key_col, id_col, k, caps_ref,
+                                *refs[i:i + combine_group])
             for i in range(0, len(refs), combine_group)
         ]
     out = ray.get(refs[0]) if refs else pa.table(
@@ -165,7 +188,7 @@ def cap_per_key(
          id_col: pa.array([], type=pa.int64())})
     if isinstance(out, (pa.RecordBatch,)):
         out = pa.Table.from_batches([out])
-    return _cap_partial(out, key_col, id_col, k)
+    return _cap_partial(out, key_col, id_col, k, caps)
 
 
 # ---------------------------------------------------------------- #
@@ -387,3 +410,223 @@ def repetition_stats(
         })
 
     return ds.map_batches(stats, batch_format="pyarrow", batch_size=4096)
+
+
+# ---------------------------------------------------------------- #
+# global-quantile threshold filter                                   #
+# ---------------------------------------------------------------- #
+
+def _quantile_cont_from_hist(vals: np.ndarray, cnts: np.ndarray,
+                             q: float) -> float:
+    """percentile_cont over the integer multiset described by a
+    (sorted values, counts) histogram — bit-identical to
+    ``state.sketches._quantile_cont`` over the expanded sorted array
+    (rank pos = (n-1)*q, linear interpolation v_k*(1-f) + v_{k+1}*f)."""
+    n = int(cnts.sum())
+    if n == 0:
+        return float("nan")
+    pos = (n - 1) * q
+    k = int(math.floor(pos))
+    f = pos - k
+    cum = np.cumsum(cnts)
+    vk = float(vals[np.searchsorted(cum, k, side="right")])
+    if f > 0 and k + 1 < n:
+        vk1 = float(vals[np.searchsorted(cum, k + 1, side="right")])
+        return vk * (1 - f) + vk1 * f
+    return vk
+
+
+def token_count_quantile(ds: "rd.Dataset", text_col: str = "text",
+                         q: float = 0.25) -> float:
+    """EXACT corpus-wide percentile_cont of the per-doc whitespace
+    token count, from an exact integer histogram: each block reduces
+    to its distinct (token_count, n_docs) pairs (np.bincount), the
+    driver merges the tiny histograms (distinct token counts are
+    bounded by the longest document, not the corpus), and the quantile
+    interpolates over the merged counts. Exact at ANY scale — no value
+    buffer, no sampling — unlike the profiler's capped buffer which
+    degrades to a weighted sketch past 2^21 values."""
+    def hist(batch: pa.Table) -> pa.Table:
+        n = T.token_count_ws(batch[text_col]).to_numpy(zero_copy_only=False)
+        cnt = np.bincount(n.astype(np.int64))
+        v = np.flatnonzero(cnt)   # includes token-count 0 when present
+        return pa.table({"val": pa.array(v, type=pa.int64()),
+                         "cnt": pa.array(cnt[v], type=pa.int64())})
+
+    parts = ds.select_columns([text_col]).map_batches(
+        hist, batch_format="pyarrow", batch_size=65536)
+    acc: dict[int, int] = {}
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for v, c in zip(b["val"].to_numpy(zero_copy_only=False),
+                        b["cnt"].to_numpy(zero_copy_only=False)):
+            acc[int(v)] = acc.get(int(v), 0) + int(c)
+    vals = np.array(sorted(acc), dtype=np.int64)
+    cnts = np.array([acc[v] for v in vals], dtype=np.int64)
+    return _quantile_cont_from_hist(vals, cnts, q)
+
+
+def quantile_threshold_filter(
+    ds: "rd.Dataset", text_col: str = "text", id_col: str = "doc_id",
+    q: float = 0.25,
+) -> "rd.Dataset":
+    """Drop the bottom-q fraction of documents by whitespace token
+    count — the standard "cut below the P25 length" corpus-quality
+    step, generalized from a fixed threshold to a data-derived one.
+
+    Two streaming passes over the source (recomputing the cheap count
+    kernel beats materializing a 10^12-row side table): pass 1 builds
+    the exact global histogram (:func:`token_count_quantile`), pass 2
+    re-derives each doc's count and keeps ``count >= threshold``.
+    The threshold is a single driver float — nothing is broadcast.
+    Output: (id_col, n_tokens) for kept docs.
+    """
+    thr = token_count_quantile(ds, text_col, q)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        n = T.token_count_ws(batch[text_col]).cast(pa.int64())
+        t = pa.table({id_col: batch[id_col], "n_tokens": n})
+        return t.filter(pc.greater_equal(n.cast(pa.float64()),
+                                         pa.scalar(thr)))
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        filt, batch_format="pyarrow", batch_size=65536)
+
+
+# ---------------------------------------------------------------- #
+# sequence packing (concatenate-and-chunk token offsets)             #
+# ---------------------------------------------------------------- #
+
+@ray.remote
+def _pack_summary(id_col: str, part: pa.Table):
+    """(min_id, max_id, total_tokens) of one counts block."""
+    if part.num_rows == 0:
+        return (None, None, 0)
+    ids = part[id_col]
+    return (pc.min(ids).as_py(), pc.max(ids).as_py(),
+            int(pc.sum(part["n_tokens"]).as_py()))
+
+
+@ray.remote
+def _pack_finalize(id_col: str, budget: int, offset: int,
+                   part: pa.Table) -> pa.Table:
+    n = part["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+    start = offset + np.concatenate([[0], np.cumsum(n[:-1])]) \
+        if len(n) else np.zeros(0, dtype=np.int64)
+    return pa.table({
+        id_col: part[id_col],
+        "n_tokens": part["n_tokens"],
+        "start_tok": pa.array(start, type=pa.int64()),
+        "bin": pa.array(start // budget, type=pa.int64()),
+    })
+
+
+def pack_sequences(
+    ds: "rd.Dataset", text_col: str = "text", id_col: str = "doc_id",
+    budget: int = 512,
+) -> "rd.Dataset":
+    """Concatenate-and-chunk sequence packing: in id order, assign each
+    document its cumulative token start offset and the index of the
+    fixed-size training bin its first token lands in (documents may
+    straddle bins — GPT-style concat-then-chunk semantics, not
+    first-fit). Output: (id, n_tokens, start_tok, bin).
+
+    This is a DISTRIBUTED PREFIX SUM — the one all-to-nothing shape in
+    the repo: per-block token sums (tiny: one (min_id, max_id, sum)
+    triple per block) come to the driver, an exclusive scan over the
+    blocks in id order yields each block's global offset, and one
+    final task per block adds its offset to a within-block cumsum.
+    Nothing wider than 3 ints per block ever moves; the corpus streams
+    through twice-tiny task waves. Requires the input blocks to be
+    id-sorted and range-disjoint (true for parquet written sorted by
+    id, which Ray reads in order) — validated, not assumed.
+    """
+    def counts_fn(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            id_col: b[id_col],
+            "n_tokens": T.token_count_ws(b[text_col]).cast(pa.int64())})
+        # per-block id sort: blocks must be RANGE-disjoint (validated
+        # below) but may be internally unordered
+        return t.take(pc.sort_indices(t, sort_keys=[(id_col, "ascending")]))
+
+    # batch_size=None: one batch per block — batches must not coalesce
+    # across blocks or the range-disjointness check loses granularity
+    counts = ds.select_columns([id_col, text_col]).map_batches(
+        counts_fn, batch_format="pyarrow", batch_size=None)
+    refs = []
+    for bundle in counts.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    summaries = ray.get([_pack_summary.remote(id_col, r) for r in refs])
+    live = [(s, r) for s, r in zip(summaries, refs) if s[0] is not None]
+    live.sort(key=lambda x: x[0][0])
+    for (a, _), (b, _) in zip(live, live[1:]):
+        if a[1] >= b[0]:
+            raise ValueError(
+                f"pack_sequences requires id-disjoint sorted blocks; "
+                f"ranges [{a[0]},{a[1]}] and [{b[0]},{b[1]}] overlap")
+    out_refs, offset = [], 0
+    for (mn, mx, tot), r in live:
+        out_refs.append(_pack_finalize.remote(id_col, budget, offset, r))
+        offset += tot
+    if not out_refs:
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "n_tokens": pa.array([], type=pa.int64()),
+            "start_tok": pa.array([], type=pa.int64()),
+            "bin": pa.array([], type=pa.int64())}))
+    return rd.from_arrow_refs(out_refs)
+
+
+# ---------------------------------------------------------------- #
+# stratified proportional sample per key                             #
+# ---------------------------------------------------------------- #
+
+def key_counts(ds: "rd.Dataset", key_col: str) -> pa.Table:
+    """Exact per-key row counts via per-batch value-counts combiner +
+    driver merge — O(distinct keys) driver state, sorted by key. For
+    key cardinalities past driver memory use the hash-partitioned
+    exchange (top_ngrams' _gram_split) instead."""
+    def vc(batch: pa.Table) -> pa.Table:
+        s = pc.value_counts(batch[key_col].combine_chunks())
+        return pa.table({"k": s.field("values"),
+                         "cnt": s.field("counts").cast(pa.int64())})
+
+    parts = ds.select_columns([key_col]).map_batches(
+        vc, batch_format="pyarrow", batch_size=65536)
+    t = pa.concat_tables(
+        b for b in parts.iter_batches(batch_size=None,
+                                      batch_format="pyarrow"))
+    if t.num_rows == 0:
+        return pa.table({key_col: pa.array([], type=pa.string()),
+                         "cnt": pa.array([], type=pa.int64())})
+    d = t["k"].combine_chunks().dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    sums = np.bincount(codes, weights=t["cnt"].to_numpy(zero_copy_only=False),
+                       minlength=len(d.dictionary)).astype(np.int64)
+    out = pa.table({key_col: d.dictionary,
+                    "cnt": pa.array(sums, type=pa.int64())})
+    return out.take(pc.sort_indices(out, sort_keys=[(key_col, "ascending")]))
+
+
+def stratified_sample_per_key(
+    ds: "rd.Dataset", key_col: str, id_col: str, frac: float = 0.25,
+) -> pa.Table:
+    """Proportional stratified sample: keep the first
+    ``ceil(frac * count(key))`` rows per key (ids ascending) — the
+    corpus-mix rebalancing step (downsample every stratum by the same
+    rate while preserving the mix and deterministic membership).
+
+    Semantics: ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY id)
+    <= CEIL(frac * COUNT(*) OVER (PARTITION BY key))`` exactly.
+    Two passes: exact per-key counts (tiny), then the associative
+    per-key-cap tree of :func:`cap_per_key` with the derived caps
+    broadcast once. Use an exact-binary ``frac`` (0.25, 0.5) when SQL
+    oracle equality matters — both engines then compute identical
+    ceilings.
+    """
+    cnts = key_counts(ds, key_col)
+    caps_k = np.ceil(
+        frac * cnts["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+    ).astype(np.int64)
+    caps = pa.table({key_col: cnts[key_col],
+                     "cap": pa.array(caps_k, type=pa.int64())})
+    return cap_per_key(ds, key_col, id_col, k=0, caps=caps)

@@ -277,3 +277,97 @@ def test_repetition_stats_match_python(ray_session):
         else:
             top2 = 0.0
         assert row["top2_frac"] == round_half_up(top2, 6)
+
+
+def test_quantile_from_hist_matches_expanded():
+    from dataquality_cli_ray.pipelines.corpus_ops import _quantile_cont_from_hist
+    from dataquality_cli_ray.state.sketches import _quantile_cont
+
+    rng = np.random.default_rng(7)
+    for trial in range(50):
+        vals = np.unique(rng.integers(0, 40, size=rng.integers(1, 12)))
+        cnts = rng.integers(1, 9, size=len(vals)).astype(np.int64)
+        expanded = np.repeat(vals, cnts).astype(np.float64)
+        for q in (0.0, 0.25, 0.5, 0.75, 1.0, 0.33):
+            got = _quantile_cont_from_hist(vals, cnts, q)
+            want = _quantile_cont(np.sort(expanded), q)
+            assert got == want, (trial, q, vals, cnts)
+
+
+def test_quantile_threshold_filter_matches_sql(ray_session):
+    import ray.data as rd
+    from dataquality_cli_ray.pipelines.corpus_ops import quantile_threshold_filter
+
+    con = duckdb.connect()
+    want = con.execute(f"""
+WITH t AS (SELECT doc_id,
+  length(regexp_extract_all(trim(text, ' ' || chr(9) || chr(10) || chr(13)),
+                            '\\S+'))::BIGINT AS n_tokens
+  FROM read_parquet('{SF}/documents.parquet'))
+SELECT doc_id, n_tokens FROM t
+WHERE n_tokens >= (SELECT quantile_cont(n_tokens, 0.25) FROM t)
+ORDER BY doc_id""").fetch_arrow_table()
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           override_num_blocks=8)
+    got = quantile_threshold_filter(docs, "text", "doc_id", q=0.25) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == want.column("doc_id").to_pylist()
+    assert got["n_tokens"].tolist() == want.column("n_tokens").to_pylist()
+
+
+def test_pack_sequences_matches_sql(ray_session):
+    import ray.data as rd
+    from dataquality_cli_ray.pipelines.corpus_ops import pack_sequences
+
+    budget = 97  # deliberately not a power of two
+    con = duckdb.connect()
+    want = con.execute(f"""
+WITH t AS (SELECT doc_id,
+  length(regexp_extract_all(trim(text, ' ' || chr(9) || chr(10) || chr(13)),
+                            '\\S+'))::BIGINT AS n_tokens
+  FROM read_parquet('{SF}/documents.parquet')),
+s AS (SELECT doc_id, n_tokens,
+  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok
+  FROM t)
+SELECT doc_id, n_tokens, start_tok, (start_tok // {budget})::BIGINT AS bin
+FROM s ORDER BY doc_id""").fetch_arrow_table()
+    # many blocks so the exclusive scan crosses real block boundaries
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           override_num_blocks=8)
+    got = pack_sequences(docs, "text", "doc_id", budget=budget) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for col in ("doc_id", "n_tokens", "start_tok", "bin"):
+        assert got[col].tolist() == want.column(col).to_pylist(), col
+
+
+def test_pack_sequences_rejects_overlapping_blocks(ray_session):
+    import ray.data as rd
+    from dataquality_cli_ray.pipelines.corpus_ops import pack_sequences
+
+    t1 = pa.table({"doc_id": [1, 5], "text": ["a b", "c"]})
+    t2 = pa.table({"doc_id": [3, 9], "text": ["d", "e f"]})
+    ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
+    with pytest.raises(ValueError, match="overlap"):
+        pack_sequences(ds, "text", "doc_id", budget=10)
+
+
+def test_stratified_sample_matches_sql(ray_session):
+    import ray.data as rd
+    from dataquality_cli_ray.pipelines.corpus_ops import stratified_sample_per_key
+
+    frac = 0.25
+    con = duckdb.connect()
+    want = con.execute(f"""
+WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM read_parquet('{SF}/documents.parquet'))
+SELECT source, doc_id FROM r WHERE rn <= ceil({frac} * cnt)
+ORDER BY source, doc_id""").fetch_arrow_table()
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           override_num_blocks=8)
+    got = stratified_sample_per_key(docs, "source", "doc_id", frac=frac)
+    assert got.column("source").to_pylist() == want.column("source").to_pylist()
+    assert got.column("doc_id").to_pylist() == want.column("doc_id").to_pylist()
