@@ -166,6 +166,18 @@ def run_benchmarks() -> dict:
         read_parquet_small(f"{SF_DIR}/documents.parquet",
                            columns=["doc_id", "source"]),
         "source", "doc_id", 10))
+    timed("docs_quantile_filter", lambda: CO.quantile_threshold_filter(
+        read_parquet_small(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"]),
+        "text", "doc_id", q=0.25).count())
+    timed("docs_pack", lambda: CO.pack_sequences(
+        read_parquet_small(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"]),
+        "text", "doc_id", budget=512).count())
+    timed("docs_stratified_sample", lambda: CO.stratified_sample_per_key(
+        read_parquet_small(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "source"]),
+        "source", "doc_id", frac=0.25))
 
     def _ann():
         Q, qids = SIM.load_query_vectors(SF_DIR, 10)

@@ -201,6 +201,15 @@ def cmd_corpus(args) -> int:
         small = CO.cap_per_key(ds, args.key_col, args.id_col, args.k)
     elif op == "top-ngrams":
         small = CO.top_ngrams(ds, args.text_col, args.ngram, args.k)
+    elif op == "quantile-filter":
+        out = CO.quantile_threshold_filter(ds, args.text_col, args.id_col,
+                                           q=args.q)
+    elif op == "pack":
+        out = CO.pack_sequences(ds, args.text_col, args.id_col,
+                                budget=args.budget)
+    elif op == "stratified-sample":
+        small = CO.stratified_sample_per_key(ds, args.key_col, args.id_col,
+                                             frac=args.frac)
     else:  # pragma: no cover - argparse choices guard this
         print(f"unknown corpus op {op}", file=sys.stderr)
         return 2
@@ -246,7 +255,9 @@ def main(argv=None) -> int:
     c = sub.add_parser("corpus", help="corpus-level training-data ops")
     c.add_argument("op", choices=["decontaminate", "chunk", "repetition",
                                   "dedup-exact", "minhash-pairs",
-                                  "source-cap", "top-ngrams"])
+                                  "source-cap", "top-ngrams",
+                                  "quantile-filter", "pack",
+                                  "stratified-sample"])
     c.add_argument("--input", required=True)
     c.add_argument("--output", required=True)
     c.add_argument("--text-col", default="text")
@@ -264,6 +275,12 @@ def main(argv=None) -> int:
                    help="top-ngrams k / source-cap K")
     c.add_argument("--threshold", type=float, default=0.5,
                    help="minhash-pairs jaccard threshold")
+    c.add_argument("--q", type=float, default=0.25,
+                   help="quantile-filter cut fraction")
+    c.add_argument("--budget", type=int, default=512,
+                   help="pack: bin size in ws tokens")
+    c.add_argument("--frac", type=float, default=0.25,
+                   help="stratified-sample keep fraction per key")
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_corpus)
 
