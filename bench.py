@@ -178,6 +178,16 @@ def run_benchmarks() -> dict:
         read_parquet_small(f"{SF_DIR}/documents.parquet",
                            columns=["doc_id", "source"]),
         "source", "doc_id", frac=0.25))
+    timed("docs_resample", lambda: CO.temperature_resample(
+        read_parquet_small(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "lang"]),
+        "lang", "doc_id", alpha=0.5).count())
+    timed("docs_hash_split", lambda: CO.hash_split(
+        read_parquet_small(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id"]), "doc_id").count())
+    timed("docs_shard_counts", lambda: CO.shard_shuffle(
+        read_parquet_small(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id"]), "doc_id", n_shards=16))
 
     def _ann():
         Q, qids = SIM.load_query_vectors(SF_DIR, 10)

@@ -173,6 +173,7 @@ def cmd_corpus(args) -> int:
     written as one parquet file.
     """
     _ray_session(args.num_cpus)
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from .pipelines import corpus_ops as CO
@@ -210,6 +211,22 @@ def cmd_corpus(args) -> int:
     elif op == "stratified-sample":
         small = CO.stratified_sample_per_key(ds, args.key_col, args.id_col,
                                              frac=args.frac)
+    elif op == "resample":
+        out = CO.temperature_resample(ds, args.key_col, args.id_col,
+                                      alpha=args.alpha)
+    elif op == "split":
+        out = CO.hash_split(ds, args.id_col, val_frac=args.frac,
+                            test_frac=args.frac)
+    elif op == "shard":
+        # writes shard=N/ partitioned parquet itself; the returned
+        # per-shard count table goes to --output-counts if given
+        small = CO.shard_shuffle(ds, args.id_col, n_shards=args.k,
+                                 out_dir=args.output)
+        print({"op": op, "shards": small.num_rows,
+               "rows_out": int(pc.sum(small["cnt"]).as_py() or 0),
+               "output": args.output,
+               "elapsed_sec": round(time.time() - t0, 3)})
+        return 0
     else:  # pragma: no cover - argparse choices guard this
         print(f"unknown corpus op {op}", file=sys.stderr)
         return 2
@@ -257,7 +274,8 @@ def main(argv=None) -> int:
                                   "dedup-exact", "minhash-pairs",
                                   "source-cap", "top-ngrams",
                                   "quantile-filter", "pack",
-                                  "stratified-sample"])
+                                  "stratified-sample", "resample",
+                                  "split", "shard"])
     c.add_argument("--input", required=True)
     c.add_argument("--output", required=True)
     c.add_argument("--text-col", default="text")
@@ -280,7 +298,10 @@ def main(argv=None) -> int:
     c.add_argument("--budget", type=int, default=512,
                    help="pack: bin size in ws tokens")
     c.add_argument("--frac", type=float, default=0.25,
-                   help="stratified-sample keep fraction per key")
+                   help="stratified-sample keep fraction per key / "
+                        "split val+test fraction each")
+    c.add_argument("--alpha", type=float, default=0.5,
+                   help="resample temperature exponent")
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_corpus)
 

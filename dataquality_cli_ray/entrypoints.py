@@ -913,6 +913,82 @@ def q_docs_stratified_sample(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+RESAMPLE_ALPHA = 0.5              # temperature-resample exponent
+SPLIT_VAL_FRAC = 0.1              # hash-split val fraction
+SPLIT_TEST_FRAC = 0.1             # hash-split test fraction
+SHARD_N = 16                      # shard-shuffle shard count
+
+# The ONE integer hash both engines evaluate bit-identically
+# (functions.hashing.knuth_u32): deterministic uniform in [0, 2^32).
+_SQL_U32 = "(doc_id * 2654435761) % 4294967296"
+
+
+def sql_docs_resample() -> str:
+    """Keep fraction per lang = sqrt(cnt_min/cnt) — one IEEE division
+    + sqrt + *2^32 (exact) + floor, bit-identical numpy vs DuckDB."""
+    return f"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+m AS (SELECT min(cnt) AS cmin FROM c),
+f AS (SELECT lang, CAST(floor(sqrt(CAST(cmin AS DOUBLE) / cnt) * 4294967296) AS BIGINT) AS thr
+      FROM c, m)
+SELECT d.doc_id, d.lang FROM documents d JOIN f USING (lang)
+WHERE {_SQL_U32} < f.thr
+ORDER BY doc_id"""
+
+
+def q_docs_resample(sf_dir: str) -> pd.DataFrame:
+    """Temperature-based language rebalancing (XLM-R/mC4 alpha-
+    sampling, Conneau et al. 2020): kept count per lang proportional
+    to cnt^alpha, membership decided per-row from knuth_u32(doc_id) —
+    no shuffle, rerun-stable (corpus_ops.temperature_resample)."""
+    from .pipelines import corpus_ops as CO
+
+    docs = read_parquet_small(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "lang"])
+    df = CO.temperature_resample(docs, "lang", "doc_id",
+                                 alpha=RESAMPLE_ALPHA).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_docs_hash_split() -> str:
+    t_thr = int(SPLIT_TEST_FRAC * 4294967296.0)
+    v_thr = int((SPLIT_TEST_FRAC + SPLIT_VAL_FRAC) * 4294967296.0)
+    return f"""SELECT doc_id,
+CASE WHEN {_SQL_U32} < {t_thr} THEN 'test'
+     WHEN {_SQL_U32} < {v_thr} THEN 'val'
+     ELSE 'train' END AS split
+FROM documents ORDER BY doc_id"""
+
+
+def q_docs_hash_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test assignment from the id hash —
+    a document's split never changes as the corpus grows
+    (corpus_ops.hash_split); one streaming pass, zero state."""
+    from .pipelines import corpus_ops as CO
+
+    docs = read_parquet_small(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id"])
+    df = CO.hash_split(docs, "doc_id", val_frac=SPLIT_VAL_FRAC,
+                       test_frac=SPLIT_TEST_FRAC).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_docs_shard_counts() -> str:
+    return f"""SELECT {_SQL_U32} % {SHARD_N} AS shard, count(*) AS cnt
+FROM documents GROUP BY shard ORDER BY shard"""
+
+
+def q_docs_shard_counts(sf_dir: str) -> pd.DataFrame:
+    """Hash-shard shuffle layout: shard = knuth_u32(id) % N replaces a
+    global random_shuffle all-to-all at 100 TB; per-shard counts are
+    the balance evidence (corpus_ops.shard_shuffle)."""
+    from .pipelines import corpus_ops as CO
+
+    docs = read_parquet_small(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id"])
+    t = CO.shard_shuffle(docs, "doc_id", n_shards=SHARD_N)
+    return t.to_pandas().sort_values("shard").reset_index(drop=True)
+
+
 def sql_docs_ngram_jaccard(threshold: float = 0.5) -> str:
     """TRUE exact-Jaccard self-join over the char-5-gram shingle sets
     (lowercased, pad-to-5 for short texts — the exact semantics of
@@ -1318,6 +1394,9 @@ def build_queries() -> dict:
         "docs_quantile_filter": q_docs_quantile_filter,
         "docs_pack": q_docs_pack,
         "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_resample": q_docs_resample,
+        "docs_hash_split": q_docs_hash_split,
+        "docs_shard_counts": q_docs_shard_counts,
         # embeddings
         "ann_topk": q_ann_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1379,6 +1458,9 @@ def build_oracles() -> dict:
         "docs_quantile_filter": sql_docs_quantile_filter(),
         "docs_pack": sql_docs_pack(),
         "docs_stratified_sample": sql_docs_stratified_sample(),
+        "docs_resample": sql_docs_resample(),
+        "docs_hash_split": sql_docs_hash_split(),
+        "docs_shard_counts": sql_docs_shard_counts(),
         "ann_topk": sql_ann_topk(),
         "embedding_dup_pairs": sql_embedding_dup_pairs(),
         "docs_ngram_jaccard": sql_docs_ngram_jaccard(),

@@ -28,6 +28,27 @@ def stable_hash64(s: str | bytes) -> int:
     return int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(), "little")
 
 
+_KNUTH32 = np.uint64(2654435761)  # Knuth multiplicative constant (2^32/phi)
+_U32_MOD = np.uint64(1) << np.uint64(32)
+
+
+def knuth_u32(ids: np.ndarray) -> np.ndarray:
+    """Deterministic pseudo-uniform u32 from integer ids:
+    ``(id * 2654435761) mod 2^32`` (Knuth multiplicative hashing,
+    TAOCP vol. 3 §6.4). The ONE integer hash both engines evaluate
+    bit-identically — DuckDB: ``(id * 2654435761) % 4294967296`` —
+    so split/sample/shard decisions derived from it are SQL-oracle
+    checkable with no float round-trip. For sequential ids the output
+    is a low-discrepancy Weyl-like sequence: splits and shard loads
+    come out *more* balanced than iid-random. Not adversarial-grade;
+    ids must stay below 2^31 for the SQL side (BIGINT product).
+
+    Returns uint64 values in [0, 2^32).
+    """
+    with np.errstate(over="ignore"):
+        return (np.asarray(ids).astype(np.uint64) * _KNUTH32) % _U32_MOD
+
+
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """SplitMix64 finalizer (public-domain mixer) — in place on uint64."""
     with np.errstate(over="ignore"):

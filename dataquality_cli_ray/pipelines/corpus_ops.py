@@ -32,6 +32,7 @@ import ray
 import ray.data as rd
 
 from ..functions import text as T
+from ..functions import hashing as H
 from ..functions.hashing import dedupe_per_doc
 from ..functions.rounding import round_half_up
 from ..functions.wordgrams import (
@@ -630,3 +631,139 @@ def stratified_sample_per_key(
     caps = pa.table({key_col: cnts[key_col],
                      "cap": pa.array(caps_k, type=pa.int64())})
     return cap_per_key(ds, key_col, id_col, k=0, caps=caps)
+
+
+# ---------------------------------------------------------------- #
+# deterministic hash sampling: temperature resample / split / shard  #
+# ---------------------------------------------------------------- #
+#
+# All three decide per-row membership from knuth_u32(id) — one integer
+# multiply both engines (numpy, DuckDB) evaluate bit-identically — so
+# the ops are exactly SQL-oracle-checkable AND embarrassingly parallel:
+# a single streaming map_batches pass, no shuffle, no driver state
+# beyond a per-key threshold table. That is the 100 TB design: global
+# "random" decisions without a random_shuffle all-to-all.
+
+
+def temperature_resample(
+    ds: "rd.Dataset", key_col: str = "source", id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> "rd.Dataset":
+    """Temperature-based source rebalancing (public method: the
+    multilingual alpha-sampling of XLM-R / mC4, Conneau et al. 2020
+    §3.1): downsample each key (source/language/domain) so kept counts
+    are proportional to ``cnt_k ** alpha`` instead of ``cnt_k``,
+    flattening the source mix without upsampling. Keep fraction per
+    key is ``(cnt_min / cnt_k) ** (1 - alpha)`` — the smallest key is
+    kept in full, the normalization needs no corpus-wide float sum
+    (oracle-exact: for alpha=0.5 the expression is one IEEE division
+    + sqrt, bit-identical in numpy and DuckDB).
+
+    Membership: ``knuth_u32(id) < floor(frac_k * 2^32)`` — a
+    deterministic per-row decision, so reruns and resumed runs keep
+    the SAME documents. Pass 1 = exact per-key counts (tiny); pass 2
+    = one streaming filter with the threshold table broadcast via the
+    per-worker cache. Output: (id_col, key_col) of kept rows.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0,1], got {alpha}")
+    cnts = key_counts(ds, key_col)
+    c = cnts["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+    if len(c) == 0:
+        return ds.select_columns([id_col, key_col])
+    ratio = c.min() / c
+    frac = np.sqrt(ratio) if alpha == 0.5 else np.power(ratio, 1.0 - alpha)
+    thr = np.floor(frac * 4294967296.0).astype(np.uint64)
+    thr_tbl = pa.table({key_col: cnts[key_col],
+                        "thr": pa.array(thr, type=pa.uint64())})
+    ref = ray.put(thr_tbl)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        tt = _cached_ref(ref)
+        pos = pc.index_in(batch[key_col].combine_chunks(),
+                          value_set=tt[key_col].combine_chunks())
+        row_thr = tt["thr"].to_numpy(zero_copy_only=False)[
+            pos.fill_null(0).to_numpy(zero_copy_only=False)]
+        u = H.knuth_u32(
+            batch[id_col].combine_chunks().to_numpy(zero_copy_only=False))
+        keep = (u < row_thr) & pos.is_valid().to_numpy(zero_copy_only=False)
+        return pa.table({id_col: batch[id_col],
+                         key_col: batch[key_col]}).filter(pa.array(keep))
+
+    return ds.select_columns([id_col, key_col]).map_batches(
+        filt, batch_format="pyarrow", batch_size=65536)
+
+
+def hash_split(
+    ds: "rd.Dataset", id_col: str = "doc_id",
+    val_frac: float = 0.1, test_frac: float = 0.1,
+) -> "rd.Dataset":
+    """Deterministic train/val/test assignment from the id hash —
+    the standard leakage-safe split for a corpus that grows between
+    runs (a document's split never changes when the corpus around it
+    does, unlike positional or random splits). ``u = knuth_u32(id)``;
+    test: ``u < floor(test_frac*2^32)``; val: next ``val_frac`` band;
+    train: the rest. One streaming pass, zero state. Output:
+    (id_col, split).
+    """
+    t_thr = np.uint64(int(test_frac * 4294967296.0))
+    v_thr = np.uint64(int((test_frac + val_frac) * 4294967296.0))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        u = H.knuth_u32(
+            batch[id_col].combine_chunks().to_numpy(zero_copy_only=False))
+        split = np.where(u < t_thr, "test",
+                         np.where(u < v_thr, "val", "train"))
+        return pa.table({id_col: batch[id_col],
+                         "split": pa.array(split, type=pa.string())})
+
+    return ds.select_columns([id_col]).map_batches(
+        assign, batch_format="pyarrow", batch_size=65536)
+
+
+def shard_shuffle(
+    ds: "rd.Dataset", id_col: str = "doc_id", n_shards: int = 64,
+    out_dir: str | None = None, cols: list[str] | None = None,
+) -> pa.Table:
+    """Hash-shard "shuffle" for training-data layout: shard =
+    ``knuth_u32(id) % n_shards``. At 100 TB this replaces a global
+    random_shuffle all-to-all — the hash assignment IS the random
+    permutation's partition step (within-shard order is then
+    randomized locally by the trainer's reader), runs as one streaming
+    pass, and the partitioned parquet write is resumable per shard.
+    Returns the per-shard row-count table (the balance evidence);
+    writes partitioned output when ``out_dir`` is given.
+    """
+    n = np.uint64(n_shards)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        u = H.knuth_u32(
+            batch[id_col].combine_chunks().to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "shard", pa.array((u % n).astype(np.int64), type=pa.int64()))
+
+    keep = cols if cols is not None else [id_col]
+    out = ds.select_columns(keep).map_batches(
+        assign, batch_format="pyarrow", batch_size=65536)
+    if out_dir is not None:
+        out.write_parquet(out_dir, partition_cols=["shard"])
+        out = rd.read_parquet(out_dir)
+
+    def vc(batch: pa.Table) -> pa.Table:
+        s = pc.value_counts(batch["shard"].combine_chunks())
+        return pa.table({"shard": s.field("values").cast(pa.int64()),
+                         "cnt": s.field("counts").cast(pa.int64())})
+
+    parts = pa.concat_tables(
+        b for b in out.map_batches(vc, batch_format="pyarrow",
+                                   batch_size=65536)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    if parts.num_rows == 0:
+        return pa.table({"shard": pa.array([], type=pa.int64()),
+                         "cnt": pa.array([], type=pa.int64())})
+    sh = parts["shard"].to_numpy(zero_copy_only=False)
+    sums = np.bincount(sh, weights=parts["cnt"].to_numpy(
+        zero_copy_only=False), minlength=n_shards).astype(np.int64)
+    nz = np.nonzero(sums)[0]
+    return pa.table({"shard": pa.array(nz, type=pa.int64()),
+                     "cnt": pa.array(sums[nz], type=pa.int64())})
