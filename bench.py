@@ -188,6 +188,10 @@ def run_benchmarks() -> dict:
     timed("docs_shard_counts", lambda: CO.shard_shuffle(
         read_parquet_small(f"{SF_DIR}/documents.parquet",
                            columns=["doc_id"]), "doc_id", n_shards=16))
+    timed("docs_shared_spans", lambda: CO.cross_doc_shared_grams(
+        read_parquet_small(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"]),
+        "text", "doc_id", n=5))
 
     def _ann():
         Q, qids = SIM.load_query_vectors(SF_DIR, 10)

@@ -211,6 +211,9 @@ def cmd_corpus(args) -> int:
     elif op == "stratified-sample":
         small = CO.stratified_sample_per_key(ds, args.key_col, args.id_col,
                                              frac=args.frac)
+    elif op == "shared-spans":
+        small = CO.cross_doc_shared_grams(ds, args.text_col, args.id_col,
+                                          n=args.ngram)
     elif op == "resample":
         out = CO.temperature_resample(ds, args.key_col, args.id_col,
                                       alpha=args.alpha)
@@ -275,7 +278,7 @@ def main(argv=None) -> int:
                                   "source-cap", "top-ngrams",
                                   "quantile-filter", "pack",
                                   "stratified-sample", "resample",
-                                  "split", "shard"])
+                                  "split", "shard", "shared-spans"])
     c.add_argument("--input", required=True)
     c.add_argument("--output", required=True)
     c.add_argument("--text-col", default="text")

@@ -989,6 +989,40 @@ def q_docs_shard_counts(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas().sort_values("shard").reset_index(drop=True)
 
 
+XDOC_N = 5                        # cross-doc shared-gram width
+
+
+def sql_docs_shared_spans(n: int = XDOC_N) -> str:
+    """TRUE gram-level oracle: per doc, distinct word n-grams and how
+    many of them occur in >= 2 distinct docs (Ray compares 64-bit
+    gram hashes; collision odds 2^-64 per unequal pair)."""
+    return f"""WITH {_word_gram_cte(n)},
+dg AS (SELECT DISTINCT doc_id, s FROM g),
+c AS (SELECT s, count(*) AS nd FROM dg GROUP BY s),
+per AS (SELECT doc_id, count(*) AS n_grams,
+               count(*) FILTER (WHERE nd >= 2) AS n_shared
+        FROM dg JOIN c USING (s) GROUP BY doc_id)
+SELECT doc_id, n_grams, n_shared,
+       CAST(n_shared AS DOUBLE) / n_grams AS shared_frac
+FROM per ORDER BY doc_id"""
+
+
+def q_docs_shared_spans(sf_dir: str) -> pd.DataFrame:
+    """Inter-document duplicated-span signal (exact-substring dedup
+    statistic, Lee et al. 2022, at word-n-gram granularity): fraction
+    of each doc's distinct grams occurring in another doc — catches
+    boilerplate/mirrors that whole-doc near-dup misses
+    (corpus_ops.cross_doc_shared_grams: distinct (gram,doc) pairs
+    through the hash-partitioned exchange, per-partition reduce to
+    O(docs) rows)."""
+    from .pipelines import corpus_ops as CO
+
+    docs = read_parquet_small(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    t = CO.cross_doc_shared_grams(docs, "text", "doc_id", n=XDOC_N)
+    return t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def sql_docs_ngram_jaccard(threshold: float = 0.5) -> str:
     """TRUE exact-Jaccard self-join over the char-5-gram shingle sets
     (lowercased, pad-to-5 for short texts — the exact semantics of
@@ -1397,6 +1431,7 @@ def build_queries() -> dict:
         "docs_resample": q_docs_resample,
         "docs_hash_split": q_docs_hash_split,
         "docs_shard_counts": q_docs_shard_counts,
+        "docs_shared_spans": q_docs_shared_spans,
         # embeddings
         "ann_topk": q_ann_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1461,6 +1496,7 @@ def build_oracles() -> dict:
         "docs_resample": sql_docs_resample(),
         "docs_hash_split": sql_docs_hash_split(),
         "docs_shard_counts": sql_docs_shard_counts(),
+        "docs_shared_spans": sql_docs_shared_spans(),
         "ann_topk": sql_ann_topk(),
         "embedding_dup_pairs": sql_embedding_dup_pairs(),
         "docs_ngram_jaccard": sql_docs_ngram_jaccard(),

@@ -767,3 +767,118 @@ def shard_shuffle(
     nz = np.nonzero(sums)[0]
     return pa.table({"shard": pa.array(nz, type=pa.int64()),
                      "cnt": pa.array(sums[nz], type=pa.int64())})
+
+
+# ---------------------------------------------------------------- #
+# cross-document duplicated-span detection                           #
+# ---------------------------------------------------------------- #
+
+
+def _xdoc_pair_partial(batch: pa.Table, text_col: str, id_col: str,
+                       n: int) -> pa.Table:
+    """Per-batch combiner: distinct (gram-hash, doc) pairs. A doc is
+    one row, so per-row dedupe IS per-doc dedupe."""
+    h, offs = word_ngram_hashes_batch(batch[text_col], n)
+    hd, offs_d = dedupe_per_doc(h, offs)
+    ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    doc = np.repeat(ids.astype(np.int64), np.diff(offs_d))
+    return pa.table({"h": pa.array(hd, type=pa.uint64()),
+                     "doc": pa.array(doc, type=pa.int64())})
+
+
+@ray.remote
+def _xdoc_split(P: int, *parts) -> list:
+    """Hash-split distinct (h, doc) pairs by h % P (pairs with the
+    same gram land in the same partition, so per-gram doc counts are
+    exact per partition)."""
+    t = pa.concat_tables(parts)
+    h = t["h"].to_numpy(zero_copy_only=False)
+    part = h % np.uint64(P)
+    return [t.filter(pa.array(part == p)) for p in range(P)]
+
+
+@ray.remote
+def _xdoc_merge(*parts) -> pa.Table:
+    """Per-partition reduce: a gram is SHARED if >= 2 distinct docs
+    contain it; emit per-doc (total grams, shared grams) partials —
+    output is O(docs-in-partition), never O(grams)."""
+    t = pa.concat_tables(parts)
+    if t.num_rows == 0:
+        return pa.table({"doc": pa.array([], type=pa.int64()),
+                         "total": pa.array([], type=pa.int64()),
+                         "shared": pa.array([], type=pa.int64())})
+    h = t["h"].to_numpy(zero_copy_only=False)
+    doc = t["doc"].to_numpy(zero_copy_only=False)
+    _, inv, cnt = np.unique(h, return_inverse=True, return_counts=True)
+    shared = cnt[inv] >= 2
+    docs_u, dinv = np.unique(doc, return_inverse=True)
+    total = np.bincount(dinv, minlength=len(docs_u))
+    sh = np.bincount(dinv, weights=shared, minlength=len(docs_u))
+    return pa.table({"doc": pa.array(docs_u, type=pa.int64()),
+                     "total": pa.array(total.astype(np.int64)),
+                     "shared": pa.array(sh.astype(np.int64))})
+
+
+def cross_doc_shared_grams(
+    ds: "rd.Dataset", text_col: str = "text", id_col: str = "doc_id",
+    n: int = 5, split_group: int = 8,
+) -> pa.Table:
+    """Inter-document duplicated-span signal (the exact-substring-
+    dedup statistic of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", at word-n-gram granularity): for
+    each document, the fraction of its DISTINCT word n-grams that
+    also occur in at least one OTHER document. Filtering on
+    ``shared_frac`` drops boilerplate/mirror pages that near-dup
+    (whole-doc similarity) methods miss.
+
+    Plan: per-block combiner emits distinct (gram-hash, doc) pairs;
+    the two-stage hash-partitioned exchange (top_ngrams' pattern)
+    routes equal grams to one partition; each merge task reduces to
+    per-doc (total, shared) counts — O(docs), never O(grams), leaves
+    a task. Driver folds the P per-doc partials (O(docs) driver
+    state, same caveat as :func:`key_counts`: past driver memory,
+    re-exchange the partials by doc hash instead). Hash-vs-string
+    equality caveat as :func:`decontaminate`: collisions 2^-64 per
+    unequal gram pair. Docs with < n words contribute no grams and
+    are absent from the output (SQL-oracle convention).
+
+    Output: (doc_id, n_grams, n_shared, shared_frac) sorted by id.
+    """
+    parts = ds.select_columns([id_col, text_col]).map_batches(
+        lambda t: _xdoc_pair_partial(t, text_col, id_col, n),
+        batch_format="pyarrow", batch_size=8192)
+    refs = []
+    for bundle in parts.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "n_grams": pa.array([], type=pa.int64()),
+                      "n_shared": pa.array([], type=pa.int64()),
+                      "shared_frac": pa.array([], type=pa.float64())})
+    if not refs:
+        return empty
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    P = max(2, min(32, cpus, (len(refs) + 1) // 2))
+    split_outs = [
+        _xdoc_split.options(num_returns=P).remote(P, *refs[i:i + split_group])
+        for i in range(0, len(refs), split_group)
+    ]
+    folds = [_xdoc_merge.remote(*[s[p] for s in split_outs])
+             for p in range(P)]
+    t = pa.concat_tables(ray.get(folds))
+    if t.num_rows == 0:
+        return empty
+    doc = t["doc"].to_numpy(zero_copy_only=False)
+    docs_u, dinv = np.unique(doc, return_inverse=True)
+    total = np.bincount(dinv, weights=t["total"].to_numpy(
+        zero_copy_only=False), minlength=len(docs_u)).astype(np.int64)
+    shared = np.bincount(dinv, weights=t["shared"].to_numpy(
+        zero_copy_only=False), minlength=len(docs_u)).astype(np.int64)
+    return pa.table({
+        "doc_id": pa.array(docs_u, type=pa.int64()),
+        "n_grams": pa.array(total),
+        "n_shared": pa.array(shared),
+        "shared_frac": pa.array(shared / total.astype(np.float64)),
+    })

@@ -465,3 +465,31 @@ def test_shard_shuffle_partitioned_write(ray_session, tmp_path):
     import os
     dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
     assert len(dirs) == 8
+
+
+def test_cross_doc_shared_grams_matches_sql(ray_session):
+    import ray.data as rd
+    from dataquality_cli_ray.pipelines.corpus_ops import cross_doc_shared_grams
+
+    n = 5
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           override_num_blocks=8)
+    got = cross_doc_shared_grams(docs, "text", "doc_id", n=n).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(f"""
+WITH w AS (SELECT doc_id, string_split(lower(coalesce(text,'')), ' ') AS ws
+           FROM read_parquet('{SF}/documents.parquet')),
+g AS (SELECT doc_id, array_to_string(ws[i:i+{n - 1}], ' ') AS s
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws)-{n}+1)) AS i FROM w)),
+dg AS (SELECT DISTINCT doc_id, s FROM g),
+c AS (SELECT s, count(*) AS nd FROM dg GROUP BY s)
+SELECT doc_id, count(*) AS n_grams,
+       count(*) FILTER (WHERE nd >= 2) AS n_shared
+FROM dg JOIN c USING (s) GROUP BY doc_id ORDER BY doc_id""").df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_grams"].tolist() == want["n_grams"].tolist()
+    assert got["n_shared"].tolist() == want["n_shared"].tolist()
+    # planted near-dups share almost everything; the signal separates
+    assert got["shared_frac"].max() > 0.5
+    assert (got["shared_frac"] == 0).sum() > 250
