@@ -193,6 +193,27 @@ def run_benchmarks() -> dict:
                            columns=["doc_id", "text"]),
         "text", "doc_id", n=5))
 
+    def _incr():
+        import shutil
+        import tempfile
+        d = tempfile.mkdtemp(prefix="dq_bench_idx_")
+        try:
+            docs = read_parquet_small(f"{SF_DIR}/documents.parquet",
+                                      columns=["doc_id", "text"])
+            split = docs.count() // 2
+            DD.build_dedup_index(
+                docs.filter(expr=f"doc_id < {split}"), "text", "doc_id", d)
+            return DD.dedup_against_index(
+                read_parquet_small(
+                    f"{SF_DIR}/documents.parquet",
+                    columns=["doc_id", "text"]).filter(
+                        expr=f"doc_id >= {split}"),
+                d, "text", "doc_id").count()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    timed("docs_incremental_dedup", _incr)
+
     def _ann():
         Q, qids = SIM.load_query_vectors(SF_DIR, 10)
         SIM.brute_force_topk(

@@ -211,6 +211,15 @@ def cmd_corpus(args) -> int:
     elif op == "stratified-sample":
         small = CO.stratified_sample_per_key(ds, args.key_col, args.id_col,
                                              frac=args.frac)
+    elif op == "build-index":
+        n = DD.build_dedup_index(ds, args.text_col, args.id_col,
+                                 args.output, n_partitions=args.k)
+        print({"op": op, "distinct_hashes": n, "output": args.output,
+               "elapsed_sec": round(time.time() - t0, 3)})
+        return 0
+    elif op == "dedup-vs-index":
+        out = DD.dedup_against_index(ds, args.index, args.text_col,
+                                     args.id_col)
     elif op == "shared-spans":
         small = CO.cross_doc_shared_grams(ds, args.text_col, args.id_col,
                                           n=args.ngram)
@@ -278,7 +287,8 @@ def main(argv=None) -> int:
                                   "source-cap", "top-ngrams",
                                   "quantile-filter", "pack",
                                   "stratified-sample", "resample",
-                                  "split", "shard", "shared-spans"])
+                                  "split", "shard", "shared-spans",
+                                  "build-index", "dedup-vs-index"])
     c.add_argument("--input", required=True)
     c.add_argument("--output", required=True)
     c.add_argument("--text-col", default="text")
@@ -293,7 +303,8 @@ def main(argv=None) -> int:
     c.add_argument("--window", type=int, default=512)
     c.add_argument("--overlap", type=int, default=64)
     c.add_argument("--k", type=int, default=25,
-                   help="top-ngrams k / source-cap K")
+                   help="top-ngrams k / source-cap K / shard count / "
+                        "build-index partitions")
     c.add_argument("--threshold", type=float, default=0.5,
                    help="minhash-pairs jaccard threshold")
     c.add_argument("--q", type=float, default=0.25,
@@ -305,6 +316,8 @@ def main(argv=None) -> int:
                         "split val+test fraction each")
     c.add_argument("--alpha", type=float, default=0.5,
                    help="resample temperature exponent")
+    c.add_argument("--index",
+                   help="dedup-vs-index: path of a build-index output")
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_corpus)
 

@@ -990,6 +990,59 @@ def q_docs_shard_counts(sf_dir: str) -> pd.DataFrame:
 
 
 XDOC_N = 5                        # cross-doc shared-gram width
+INCR_SPLIT = 250                  # incremental dedup: history = id < 250
+
+
+def sql_docs_incremental_dedup(split: int = INCR_SPLIT) -> str:
+    """History = docs with id < split. New batch = docs >= split,
+    PLUS relabeled copies of ids 0-49 (exact dups of history, must be
+    dropped by the index anti join) PLUS relabeled copies of ids
+    split..split+9 (intra-batch dups, must lose keep-first)."""
+    return f"""WITH hist AS (SELECT text FROM documents WHERE doc_id < {split}),
+new AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= {split}
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents
+  WHERE doc_id >= {split} AND doc_id < {split} + 10),
+fresh AS (SELECT doc_id, text FROM new
+          WHERE text NOT IN (SELECT text FROM hist))
+SELECT min(doc_id)::BIGINT AS doc_id FROM fresh GROUP BY text
+ORDER BY doc_id"""
+
+
+def q_docs_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Incremental exact dedup of a new crawl batch against the
+    persisted corpus index (dedup.build_dedup_index: one row per
+    distinct content hash, hash-partitioned parquet; then
+    dedup.dedup_against_index: distributed anti join — no driver
+    state — + keep-first within the batch)."""
+    import tempfile
+
+    docs = read_parquet_small(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    hist = docs.filter(expr=f"doc_id < {INCR_SPLIT}")
+
+    def _relabel(off: int):
+        def f(t):
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+            return _pa.table({
+                "doc_id": _pc.add(t["doc_id"], _pa.scalar(off)),
+                "text": t["text"]})
+        return f
+
+    new = docs.filter(expr=f"doc_id >= {INCR_SPLIT}").union(
+        docs.filter(expr="doc_id < 50").map_batches(
+            _relabel(100000), batch_format="pyarrow"),
+        docs.filter(
+            expr=f"doc_id >= {INCR_SPLIT} and doc_id < {INCR_SPLIT + 10}"
+        ).map_batches(_relabel(200000), batch_format="pyarrow"))
+    idx_dir = tempfile.mkdtemp(prefix="dq_incr_idx_")
+    DD.build_dedup_index(hist, "text", "doc_id", idx_dir)
+    out = DD.dedup_against_index(new, idx_dir, "text", "doc_id")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def sql_docs_shared_spans(n: int = XDOC_N) -> str:
@@ -1432,6 +1485,7 @@ def build_queries() -> dict:
         "docs_hash_split": q_docs_hash_split,
         "docs_shard_counts": q_docs_shard_counts,
         "docs_shared_spans": q_docs_shared_spans,
+        "docs_incremental_dedup": q_docs_incremental_dedup,
         # embeddings
         "ann_topk": q_ann_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1497,6 +1551,7 @@ def build_oracles() -> dict:
         "docs_hash_split": sql_docs_hash_split(),
         "docs_shard_counts": sql_docs_shard_counts(),
         "docs_shared_spans": sql_docs_shared_spans(),
+        "docs_incremental_dedup": sql_docs_incremental_dedup(),
         "ann_topk": sql_ann_topk(),
         "embedding_dup_pairs": sql_embedding_dup_pairs(),
         "docs_ngram_jaccard": sql_docs_ngram_jaccard(),

@@ -993,3 +993,65 @@ def embedding_dup_pairs_lsh(
     pair_refs = _exchange(refs, "lsh_key", P, _emb_partition_task,
                           vec_col, id_col, threshold, max_bucket)
     return rd.from_arrow_refs(pair_refs)
+
+
+# ------------------------------------------------- incremental dedup
+#
+# Production pipelines dedup each NEW crawl against everything already
+# ingested, not just within the batch. The index is the corpus's
+# content-hash set persisted as hash-partitioned parquet: O(8 bytes) a
+# document, append-only, and partition-pruned on read. Dedup of a new
+# batch = distributed anti join against the index (semi_join_filter —
+# no driver state, no broadcast) + keep-first within the batch.
+
+
+def _index_partition_expr(h: np.ndarray, n_partitions: int) -> np.ndarray:
+    """Partition id from the content hash (Fibonacci-mixed like
+    _key_partition_ids so structured hash spaces spread uniformly)."""
+    with np.errstate(over="ignore"):
+        mixed = h.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return (mixed % np.uint64(n_partitions)).astype(np.int64)
+
+
+def build_dedup_index(
+    ds: "rd.Dataset", text_col: str, id_col: str, out_dir: str,
+    n_partitions: int = 64,
+) -> int:
+    """Persist the corpus's exact-dedup index: one row per DISTINCT
+    content hash, (text_hash, winner id), written as parquet
+    partitioned by ``part = mix(text_hash) % n_partitions`` —
+    per-partition files stay bounded and a future filter can prune to
+    the partitions a batch actually touches. Returns the distinct-hash
+    count."""
+    hashed = ds.select_columns([text_col, id_col]).map_batches(
+        _HashText(text_col), batch_format="pyarrow", batch_size=65536)
+    groups = exact_dup_groups(hashed, "text_hash", id_col)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = t["text_hash"].to_numpy(zero_copy_only=False)
+        part = _index_partition_expr(h, n_partitions)
+        return pa.table({"text_hash": t["text_hash"],
+                         "winner": t["winner"],
+                         "part": pa.array(part, type=pa.int64())})
+
+    out = groups.map_batches(add_part, batch_format="pyarrow",
+                             batch_size=65536)
+    out.write_parquet(out_dir, partition_cols=["part"])
+    return rd.read_parquet(out_dir).count()
+
+
+def dedup_against_index(
+    ds: "rd.Dataset", index_dir: str, text_col: str, id_col: str,
+) -> "rd.Dataset":
+    """Incremental exact dedup: drop new documents whose content hash
+    is already in the persisted index, then keep-first (min id) within
+    the remaining batch. Returns the surviving ids as a Dataset of
+    (id_col,). Both sides move only 64-bit hashes; the index streams
+    from parquet — never into driver memory."""
+    idx = rd.read_parquet(index_dir, columns=["text_hash"])
+    hashed = ds.select_columns([text_col, id_col]).map_batches(
+        _HashText(text_col), batch_format="pyarrow", batch_size=65536)
+    fresh = semi_join_filter(hashed, idx, "text_hash", anti=True)
+    groups = exact_dup_groups(fresh, "text_hash", id_col)
+    return groups.select_columns(["winner"]).rename_columns(
+        {"winner": id_col})

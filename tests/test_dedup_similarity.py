@@ -362,3 +362,37 @@ def test_hamming_neardup_exact_vs_bruteforce(ray_session):
 def test_hamming_neardup_radius_guard():
     with pytest.raises(ValueError):
         DD.hamming_neardup_pairs(None, "phash", "image_id", max_hamming=9)
+
+
+def test_incremental_dedup_against_index(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from dataquality_cli_ray.pipelines.dedup import (
+        build_dedup_index, dedup_against_index)
+
+    SF = "/root/testdata/sf0.01"
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"],
+                           override_num_blocks=4)
+    hist = docs.filter(expr="doc_id < 250")
+    idx_dir = str(tmp_path / "idx")
+    n = build_dedup_index(hist, "text", "doc_id", idx_dir, n_partitions=16)
+    assert n == 250          # fixture has no exact dups inside history
+    import os
+    assert any(d.startswith("part=") for d in os.listdir(idx_dir))
+
+    def relabel(off):
+        return lambda t: pa.table({
+            "doc_id": pc.add(t["doc_id"], pa.scalar(off)),
+            "text": t["text"]})
+
+    # new batch: 250 fresh + 50 dups-of-history + 10 intra-batch dups
+    new = docs.filter(expr="doc_id >= 250").union(
+        docs.filter(expr="doc_id < 50").map_batches(
+            relabel(100000), batch_format="pyarrow"),
+        docs.filter(expr="doc_id >= 250 and doc_id < 260").map_batches(
+            relabel(200000), batch_format="pyarrow"))
+    kept = dedup_against_index(new, idx_dir, "text", "doc_id").to_pandas()
+    assert sorted(kept["doc_id"].tolist()) == list(range(250, 500))
