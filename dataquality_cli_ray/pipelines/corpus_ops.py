@@ -787,17 +787,6 @@ def _xdoc_pair_partial(batch: pa.Table, text_col: str, id_col: str,
 
 
 @ray.remote
-def _xdoc_split(P: int, *parts) -> list:
-    """Hash-split distinct (h, doc) pairs by h % P (pairs with the
-    same gram land in the same partition, so per-gram doc counts are
-    exact per partition)."""
-    t = pa.concat_tables(parts)
-    h = t["h"].to_numpy(zero_copy_only=False)
-    part = h % np.uint64(P)
-    return [t.filter(pa.array(part == p)) for p in range(P)]
-
-
-@ray.remote
 def _xdoc_merge(*parts) -> pa.Table:
     """Per-partition reduce: a gram is SHARED if >= 2 distinct docs
     contain it; emit per-doc (total grams, shared grams) partials —
@@ -817,6 +806,24 @@ def _xdoc_merge(*parts) -> pa.Table:
     return pa.table({"doc": pa.array(docs_u, type=pa.int64()),
                      "total": pa.array(total.astype(np.int64)),
                      "shared": pa.array(sh.astype(np.int64))})
+
+
+@ray.remote
+def _xdoc_doc_merge(*parts) -> pa.Table:
+    """Second-stage reduce keyed by doc: fold each doc's per-gram-
+    partition (total, shared) partials into one row."""
+    t = pa.concat_tables(parts)
+    if t.num_rows == 0:
+        return t
+    doc = t["doc"].to_numpy(zero_copy_only=False)
+    docs_u, dinv = np.unique(doc, return_inverse=True)
+    total = np.bincount(dinv, weights=t["total"].to_numpy(
+        zero_copy_only=False), minlength=len(docs_u)).astype(np.int64)
+    shared = np.bincount(dinv, weights=t["shared"].to_numpy(
+        zero_copy_only=False), minlength=len(docs_u)).astype(np.int64)
+    return pa.table({"doc": pa.array(docs_u, type=pa.int64()),
+                     "total": pa.array(total),
+                     "shared": pa.array(shared)})
 
 
 def cross_doc_shared_grams(
@@ -861,24 +868,21 @@ def cross_doc_shared_grams(
     except Exception:
         cpus = 8
     P = max(2, min(32, cpus, (len(refs) + 1) // 2))
-    split_outs = [
-        _xdoc_split.options(num_returns=P).remote(P, *refs[i:i + split_group])
-        for i in range(0, len(refs), split_group)
-    ]
-    folds = [_xdoc_merge.remote(*[s[p] for s in split_outs])
-             for p in range(P)]
-    t = pa.concat_tables(ray.get(folds))
+    # dedup's argsort+slice split task (P filter passes over the pair
+    # table would cost P x the memory traffic)
+    from .dedup import _exchange
+    folds = _exchange(refs, "h", P, _xdoc_merge)
+    per_doc = _exchange(folds, "doc", P, _xdoc_doc_merge)
+    t = pa.concat_tables(ray.get(per_doc))
     if t.num_rows == 0:
         return empty
-    doc = t["doc"].to_numpy(zero_copy_only=False)
-    docs_u, dinv = np.unique(doc, return_inverse=True)
-    total = np.bincount(dinv, weights=t["total"].to_numpy(
-        zero_copy_only=False), minlength=len(docs_u)).astype(np.int64)
-    shared = np.bincount(dinv, weights=t["shared"].to_numpy(
-        zero_copy_only=False), minlength=len(docs_u)).astype(np.int64)
+    idx = np.argsort(t["doc"].to_numpy(zero_copy_only=False))
+    t = t.take(pa.array(idx))
+    total = t["total"].to_numpy(zero_copy_only=False)
+    shared = t["shared"].to_numpy(zero_copy_only=False)
     return pa.table({
-        "doc_id": pa.array(docs_u, type=pa.int64()),
-        "n_grams": pa.array(total),
-        "n_shared": pa.array(shared),
+        "doc_id": t["doc"],
+        "n_grams": t["total"],
+        "n_shared": t["shared"],
         "shared_frac": pa.array(shared / total.astype(np.float64)),
     })
