@@ -213,6 +213,9 @@ def run_benchmarks() -> dict:
             shutil.rmtree(d, ignore_errors=True)
 
     timed("docs_incremental_dedup", _incr)
+    timed("embedding_semdedup", lambda: DD.semdedup(
+        read_parquet_small(f"{SF_DIR}/embeddings.parquet"),
+        "embedding", "vec_id", n_clusters=16, threshold=0.35).count())
 
     def _ann():
         Q, qids = SIM.load_query_vectors(SF_DIR, 10)

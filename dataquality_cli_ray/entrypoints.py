@@ -1217,6 +1217,18 @@ def q_images_quality(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("image_id").reset_index(drop=True)
 
 
+def q_embedding_semdedup(sf_dir: str) -> pd.DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): k-means cluster
+    blocking (deterministic distributed Lloyd) + within-cluster cosine
+    keep-first; survivors only — no pair table, no join
+    (dedup.semdedup). Cross-cluster recall asserted vs brute force in
+    pytest on planted tight dups; golden-parquet oracle here."""
+    ds = read_parquet_small(f"{sf_dir}/embeddings.parquet")
+    out = DD.semdedup(ds, "embedding", "vec_id", n_clusters=16,
+                      threshold=EMB_DUP_THRESHOLD).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_embedding_dup_lsh(sf_dir: str) -> pd.DataFrame:
     """Hyperplane-LSH near-dup pairs (scale path; recall vs brute force
     asserted in tests — rows-only here)."""
@@ -1414,6 +1426,7 @@ GOLDEN_QUERIES = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "embedding_dup_lsh",
+    "embedding_semdedup",
     "images_quality",
     "images_describe",
     "images_features",
@@ -1502,6 +1515,7 @@ def build_queries() -> dict:
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_dup_lsh": q_embedding_dup_lsh,
+        "embedding_semdedup": q_embedding_semdedup,
         "images_quality": q_images_quality,
         "images_phash_neardup": q_images_phash_neardup,
         "images_describe": q_images_describe,

@@ -1155,3 +1155,109 @@ def dedup_against_index(
         for p in range(P)
     ]
     return rd.from_arrow_refs(out_refs)
+
+
+# ------------------------------------------------------------ SemDeDup
+#
+# Semantic dedup (public method: SemDeDup, Abbas et al. 2023,
+# arXiv:2303.09540): cluster embeddings with k-means, then resolve
+# near-duplicates ONLY within each cluster — the cluster key plays the
+# LSH-bucket role, so the whole op is one exchange. Unlike
+# embedding_dup_pairs_* this returns the SURVIVOR id set directly: the
+# keep/drop decision happens inside the partition task (clusters are
+# wholly contained in one partition), so no pair table, no loser
+# broadcast, no join — the only data that moves is (id, embedding,
+# cluster) once, which any within-cluster method needs anyway.
+
+
+def _sem_cluster_survivors(t: pa.Table, vec_col: str, id_col: str,
+                           threshold: float,
+                           max_bucket: int) -> pa.Table:
+    """Survivors of ONE cluster: sort by id ascending; drop row i iff
+    some EARLIER row j (kept or not) has cosine(i, j) >= threshold —
+    deterministic keep-first domination (documented divergence from
+    the paper's keep-farthest-from-centroid tie-break; same ids kept
+    on every rerun and layout)."""
+    idx = pc.sort_indices(t, sort_keys=[(id_col, "ascending")])
+    t = t.take(idx)
+    n = t.num_rows
+    if n < 2:
+        return t.select([id_col])
+    if n > max_bucket:
+        logger.warning("semdedup cluster overflow: %d rows > cap %d, "
+                       "dropping %d from the comparison", n, max_bucket,
+                       n - max_bucket)
+        t = t.slice(0, max_bucket)
+        n = max_bucket
+    m = list_col_to_matrix(t[vec_col], dtype=np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    sims = m @ m.T
+    # column j is dominated iff any row i < j has sims[i, j] >= t
+    dominated = (np.triu(sims, 1) >= threshold).any(axis=0)
+    return t.filter(pa.array(~dominated)).select([id_col])
+
+
+@ray.remote
+def _sem_partition_task(vec_col: str, id_col: str, threshold: float,
+                        max_bucket: int, *parts: pa.Table) -> pa.Table:
+    t = pa.concat_tables(parts)
+    if t.num_rows == 0:
+        return t.select([id_col])
+    outs = []
+    cells = t["sem_cell"].to_numpy(zero_copy_only=False)
+    order = np.argsort(cells, kind="stable")
+    t = t.take(pa.array(order))
+    bounds = np.flatnonzero(np.r_[True, np.diff(cells[order]) != 0,
+                                  True])
+    for i in range(len(bounds) - 1):
+        outs.append(_sem_cluster_survivors(
+            t.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i])),
+            vec_col, id_col, threshold, max_bucket))
+    return pa.concat_tables(outs)
+
+
+def semdedup(
+    ds: "rd.Dataset", vec_col: str, id_col: str, n_clusters: int = 32,
+    threshold: float = 0.95, iters: int = 3, max_bucket: int = 4000,
+) -> "rd.Dataset":
+    """SemDeDup: k-means cluster blocking + within-cluster cosine
+    keep-first. Returns surviving ids as a Dataset of (id_col,).
+
+    The centroids come from the deterministic distributed Lloyd of
+    ``similarity.ivf_centroids`` (streaming (sum,count) partials, no
+    RNG); cluster assignment is a broadcast argmax per batch; the
+    exchange routes each cluster to one partition task which resolves
+    survivors locally. Cross-cluster near-dups are missed by
+    construction (recall vs brute force asserted in tests, like the
+    LSH paths). Oversized clusters are capped WITH the drop logged —
+    rows past the cap survive uncompared."""
+    from .similarity import ivf_centroids
+
+    C = ivf_centroids(ds, n_clusters, iters=iters, vec_col=vec_col,
+                      id_col=id_col)
+    cref = ray.put(C)
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        C_b = _cached_ref(cref)
+        m = list_col_to_matrix(batch[vec_col], dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                           1e-12)
+        cell = np.argmax(m @ C_b.T, axis=1).astype(np.int64)
+        return batch.select([id_col, vec_col]).append_column(
+            "sem_cell", pa.array(cell, type=pa.int64()))
+
+    keyed = ds.select_columns([id_col, vec_col]).map_batches(
+        add_cell, batch_format="pyarrow", batch_size=4096)
+    refs = []
+    for bundle in keyed.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    if not refs:
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64())}))
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    P = max(2, min(32, cpus, n_clusters))
+    out_refs = _exchange(refs, "sem_cell", P, _sem_partition_task,
+                         vec_col, id_col, threshold, max_bucket)
+    return rd.from_arrow_refs(out_refs)

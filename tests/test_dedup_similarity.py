@@ -396,3 +396,44 @@ def test_incremental_dedup_against_index(ray_session, tmp_path):
             relabel(200000), batch_format="pyarrow"))
     kept = dedup_against_index(new, idx_dir, "text", "doc_id").to_pandas()
     assert sorted(kept["doc_id"].tolist()) == list(range(250, 500))
+
+
+def test_semdedup_planted_dups(ray_session):
+    # tight planted near-dups (cosine ~0.999) — the regime SemDeDup
+    # targets; each dup must land in its base's k-means cell
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((100, 32))
+    dups = base + rng.standard_normal((100, 32)) * 0.02
+    M = np.vstack([base, dups])
+    df = pd.DataFrame({"vec_id": np.arange(200),
+                       "embedding": [list(map(float, v)) for v in M]})
+    ds = rd_mod.from_pandas(df).repartition(4)
+    kept = DD.semdedup(ds, "embedding", "vec_id", n_clusters=8,
+                       threshold=0.95).to_pandas()
+    surv = set(kept["vec_id"])
+    # keep-first: every base vector survives, planted copies drop
+    # unless a cross-cluster assignment saved them (rare at 0.999)
+    assert set(range(100)) <= surv
+    dropped = 200 - len(surv)
+    assert dropped >= 90, f"only {dropped} of 100 planted dups dropped"
+    # deterministic across layouts
+    kept2 = DD.semdedup(rd_mod.from_pandas(df).repartition(7),
+                        "embedding", "vec_id", n_clusters=8,
+                        threshold=0.95).to_pandas()
+    assert sorted(kept2["vec_id"]) == sorted(kept["vec_id"])
+
+
+def test_semdedup_domination_rule(ray_session):
+    # the documented drop rule: i drops iff ANY earlier j (kept or
+    # not) dominates it — pin with a 3-chain a~b, b~c, a!~c
+    th = np.deg2rad(20.0)   # cos 20 = 0.94 >= 0.9; cos 40 = 0.766 < 0.9
+    a = np.array([1.0, 0.0, 0.0, 0.0])
+    b = np.array([np.cos(th), np.sin(th), 0.0, 0.0])
+    c = np.array([np.cos(2 * th), np.sin(2 * th), 0.0, 0.0])
+    assert a @ b >= 0.9 and b @ c >= 0.9 and a @ c < 0.9
+    df = pd.DataFrame({"vec_id": [0, 1, 2],
+                       "embedding": [list(a), list(b), list(c)]})
+    kept = DD.semdedup(rd_mod.from_pandas(df), "embedding", "vec_id",
+                       n_clusters=1, threshold=0.9).to_pandas()
+    # b dropped by a; c dropped by b even though b itself dropped
+    assert sorted(kept["vec_id"]) == [0]
