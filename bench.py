@@ -213,6 +213,14 @@ def run_benchmarks() -> dict:
             shutil.rmtree(d, ignore_errors=True)
 
     timed("docs_incremental_dedup", _incr)
+    def _qlr():
+        from dataquality_cli_ray.pipelines import classifier as CL
+        return CL.quality_lr_pipeline(
+            read_parquet_small(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id", "text"]),
+            iters=10).count()
+
+    timed("docs_quality_lr", _qlr)
     timed("embedding_semdedup", lambda: DD.semdedup(
         read_parquet_small(f"{SF_DIR}/embeddings.parquet"),
         "embedding", "vec_id", n_clusters=16, threshold=0.35).count())

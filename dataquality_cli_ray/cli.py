@@ -211,6 +211,10 @@ def cmd_corpus(args) -> int:
     elif op == "stratified-sample":
         small = CO.stratified_sample_per_key(ds, args.key_col, args.id_col,
                                              frac=args.frac)
+    elif op == "quality-lr":
+        from .pipelines import classifier as CL
+        out = CL.quality_lr_pipeline(ds, args.text_col, args.id_col,
+                                     train_frac=args.train_frac)
     elif op == "build-index":
         n = DD.build_dedup_index(ds, args.text_col, args.id_col,
                                  args.output, n_partitions=args.k)
@@ -288,7 +292,8 @@ def main(argv=None) -> int:
                                   "quantile-filter", "pack",
                                   "stratified-sample", "resample",
                                   "split", "shard", "shared-spans",
-                                  "build-index", "dedup-vs-index"])
+                                  "build-index", "dedup-vs-index",
+                                  "quality-lr"])
     c.add_argument("--input", required=True)
     c.add_argument("--output", required=True)
     c.add_argument("--text-col", default="text")
@@ -318,6 +323,8 @@ def main(argv=None) -> int:
                    help="resample temperature exponent")
     c.add_argument("--index",
                    help="dedup-vs-index: path of a build-index output")
+    c.add_argument("--train-frac", type=float, default=0.5,
+                   help="quality-lr: hash-sampled training fraction")
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_corpus)
 

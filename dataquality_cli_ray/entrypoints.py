@@ -1217,6 +1217,22 @@ def q_images_quality(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("image_id").reset_index(drop=True)
 
 
+def q_docs_quality_lr(sf_dir: str) -> pd.DataFrame:
+    """Model-based quality filter (WebText-classifier archetype,
+    Brown et al. 2020 appendix A): logistic regression on cheap text
+    features, weak labels from the heuristic quality score, trained
+    DISTRIBUTED on a deterministic hash-sampled half of the corpus
+    (30 one-pass gradient steps, O(F) floats per block per pass),
+    scored over the full corpus in one streaming pass
+    (pipelines/classifier.py). Iterative -> golden oracle."""
+    from .pipelines import classifier as CL
+
+    docs = read_parquet_small(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    df = CL.quality_lr_pipeline(docs).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_embedding_semdedup(sf_dir: str) -> pd.DataFrame:
     """Semantic dedup (SemDeDup, Abbas et al. 2023): k-means cluster
     blocking (deterministic distributed Lloyd) + within-cluster cosine
@@ -1427,6 +1443,7 @@ GOLDEN_QUERIES = [
     "ann_topk_ivf",
     "embedding_dup_lsh",
     "embedding_semdedup",
+    "docs_quality_lr",
     "images_quality",
     "images_describe",
     "images_features",
@@ -1516,6 +1533,7 @@ def build_queries() -> dict:
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_dup_lsh": q_embedding_dup_lsh,
         "embedding_semdedup": q_embedding_semdedup,
+        "docs_quality_lr": q_docs_quality_lr,
         "images_quality": q_images_quality,
         "images_phash_neardup": q_images_phash_neardup,
         "images_describe": q_images_describe,

@@ -46,6 +46,28 @@ def token_stats(ds: "rd.Dataset", text_col: str = "text",
         fn, batch_format="pyarrow", batch_size=8192, zero_copy_batch=True)
 
 
+def quality_score_array(txt) -> pa.Array:
+    """The composite-quality formula for one batch of texts (shared by
+    :func:`quality_scores` and the classifier's weak labels)."""
+    n = pc.utf8_length(txt).cast(pa.float64())
+    toks = T.token_count_ws(txt).cast(pa.float64())
+    stop = T.stopword_count(txt).cast(pa.float64())
+    punct = T.count_regex(txt, r"[^\sA-Za-z0-9]").cast(pa.float64())
+    safe_n = pc.max_element_wise(n, pa.scalar(1.0))
+    safe_t = pc.max_element_wise(toks, pa.scalar(1.0))
+    s1 = pc.min_element_wise(pc.divide(toks, pa.scalar(20.0)), pa.scalar(1.0))
+    s2 = pc.subtract(pa.scalar(1.0), pc.divide(punct, safe_n))
+    s3 = pc.min_element_wise(
+        pc.multiply(pa.scalar(5.0), pc.divide(stop, safe_t)), pa.scalar(1.0))
+    score = pc.add(
+        pc.add(pc.multiply(pa.scalar(0.4), s1), pc.multiply(pa.scalar(0.3), s2)),
+        pc.multiply(pa.scalar(0.3), s3),
+    )
+    # two-stage half-up rounding (functions.rounding) in Arrow kernels
+    y = pc.divide(pc.floor(pc.add(pc.multiply(score, 1e8), 0.5)), 1e8)
+    return pc.divide(pc.floor(pc.add(pc.multiply(y, 1e6), 0.5)), 1e6)
+
+
 def quality_scores(ds: "rd.Dataset", text_col: str = "text",
                    id_col: str = "doc_id") -> "rd.Dataset":
     """Composite quality score in [0,1]:
@@ -54,27 +76,9 @@ def quality_scores(ds: "rd.Dataset", text_col: str = "text",
     token_stats counts so the oracle reproduces it bit-for-bit."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        txt = batch[text_col]
-        n = pc.utf8_length(txt).cast(pa.float64())
-        toks = T.token_count_ws(txt).cast(pa.float64())
-        stop = T.stopword_count(txt).cast(pa.float64())
-        punct = T.count_regex(txt, r"[^\sA-Za-z0-9]").cast(pa.float64())
-        safe_n = pc.max_element_wise(n, pa.scalar(1.0))
-        safe_t = pc.max_element_wise(toks, pa.scalar(1.0))
-        s1 = pc.min_element_wise(pc.divide(toks, pa.scalar(20.0)), pa.scalar(1.0))
-        s2 = pc.subtract(pa.scalar(1.0), pc.divide(punct, safe_n))
-        s3 = pc.min_element_wise(
-            pc.multiply(pa.scalar(5.0), pc.divide(stop, safe_t)), pa.scalar(1.0))
-        score = pc.add(
-            pc.add(pc.multiply(pa.scalar(0.4), s1), pc.multiply(pa.scalar(0.3), s2)),
-            pc.multiply(pa.scalar(0.3), s3),
-        )
-        # two-stage half-up rounding (functions.rounding) in Arrow kernels
-        y = pc.divide(pc.floor(pc.add(pc.multiply(score, 1e8), 0.5)), 1e8)
-        r = pc.divide(pc.floor(pc.add(pc.multiply(y, 1e6), 0.5)), 1e6)
         return pa.table({
             id_col: batch[id_col],
-            "quality_score": r,
+            "quality_score": quality_score_array(batch[text_col]),
         })
 
     return ds.select_columns([id_col, text_col]).map_batches(
