@@ -213,6 +213,11 @@ def run_benchmarks() -> dict:
             shutil.rmtree(d, ignore_errors=True)
 
     timed("docs_incremental_dedup", _incr)
+    timed("docs_oov_rate", lambda: CO.oov_rate(
+        read_parquet_small(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"]),
+        "text", "doc_id", vocab_k=10).count())
+
     def _qlr():
         from dataquality_cli_ray.pipelines import classifier as CL
         return CL.quality_lr_pipeline(

@@ -211,6 +211,9 @@ def cmd_corpus(args) -> int:
     elif op == "stratified-sample":
         small = CO.stratified_sample_per_key(ds, args.key_col, args.id_col,
                                              frac=args.frac)
+    elif op == "oov-rate":
+        out = CO.oov_rate(ds, args.text_col, args.id_col,
+                          vocab_k=args.k)
     elif op == "quality-lr":
         from .pipelines import classifier as CL
         out = CL.quality_lr_pipeline(ds, args.text_col, args.id_col,
@@ -293,7 +296,7 @@ def main(argv=None) -> int:
                                   "stratified-sample", "resample",
                                   "split", "shard", "shared-spans",
                                   "build-index", "dedup-vs-index",
-                                  "quality-lr"])
+                                  "quality-lr", "oov-rate"])
     c.add_argument("--input", required=True)
     c.add_argument("--output", required=True)
     c.add_argument("--text-col", default="text")

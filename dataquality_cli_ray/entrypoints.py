@@ -1217,6 +1217,39 @@ def q_images_quality(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("image_id").reset_index(drop=True)
 
 
+OOV_VOCAB_K = 10                  # fixture has 31 distinct words
+
+
+def sql_docs_oov_rate(k: int = OOV_VOCAB_K) -> str:
+    return f"""WITH w AS (
+  SELECT doc_id, string_split(lower(coalesce(text,'')), ' ') AS ws
+  FROM documents),
+flat AS (SELECT doc_id, unnest(ws) AS word FROM w),
+vocab AS (SELECT word FROM (
+  SELECT word, count(*) AS cnt FROM flat GROUP BY word
+  ORDER BY cnt DESC, word ASC LIMIT {k})),
+per AS (SELECT doc_id, count(*) AS n_words,
+        count(*) FILTER (WHERE word NOT IN (SELECT word FROM vocab))
+          AS n_oov
+        FROM flat GROUP BY doc_id)
+SELECT doc_id, n_words, n_oov,
+       CAST(n_oov AS DOUBLE) / n_words AS oov_frac
+FROM per ORDER BY doc_id"""
+
+
+def q_docs_oov_rate(sf_dir: str) -> pd.DataFrame:
+    """Lexical quality: per-doc fraction of word occurrences outside
+    the corpus top-K vocabulary (corpus_ops.oov_rate — top_ngrams
+    vocabulary pass + broadcast membership probe)."""
+    from .pipelines import corpus_ops as CO
+
+    docs = read_parquet_small(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    df = CO.oov_rate(docs, "text", "doc_id",
+                     vocab_k=OOV_VOCAB_K).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_docs_quality_lr(sf_dir: str) -> pd.DataFrame:
     """Model-based quality filter (WebText-classifier archetype,
     Brown et al. 2020 appendix A): logistic regression on cheap text
@@ -1534,6 +1567,7 @@ def build_queries() -> dict:
         "embedding_dup_lsh": q_embedding_dup_lsh,
         "embedding_semdedup": q_embedding_semdedup,
         "docs_quality_lr": q_docs_quality_lr,
+        "docs_oov_rate": q_docs_oov_rate,
         "images_quality": q_images_quality,
         "images_phash_neardup": q_images_phash_neardup,
         "images_describe": q_images_describe,
@@ -1584,6 +1618,7 @@ def build_oracles() -> dict:
         "docs_shard_counts": sql_docs_shard_counts(),
         "docs_shared_spans": sql_docs_shared_spans(),
         "docs_incremental_dedup": sql_docs_incremental_dedup(),
+        "docs_oov_rate": sql_docs_oov_rate(),
         "ann_topk": sql_ann_topk(),
         "embedding_dup_pairs": sql_embedding_dup_pairs(),
         "docs_ngram_jaccard": sql_docs_ngram_jaccard(),

@@ -886,3 +886,50 @@ def cross_doc_shared_grams(
         "n_shared": t["shared"],
         "shared_frac": pa.array(shared / total.astype(np.float64)),
     })
+
+
+# ---------------------------------------------------------------- #
+# OOV-rate scoring against the corpus vocabulary                     #
+# ---------------------------------------------------------------- #
+
+
+def oov_rate(
+    ds: "rd.Dataset", text_col: str = "text", id_col: str = "doc_id",
+    vocab_k: int = 200,
+) -> "rd.Dataset":
+    """Out-of-vocabulary rate per document: the fraction of a doc's
+    word OCCURRENCES outside the corpus's top-``vocab_k`` words — a
+    standard lexical quality signal (gibberish / wrong-language /
+    boilerplate text scores high). Pass 1 derives the vocabulary with
+    :func:`top_ngrams` (n=1; exact counts, deterministic cnt-DESC /
+    word-ASC tie-break); the top-V word-hash set broadcasts once
+    (small by construction — the head of the distribution); pass 2
+    streams one searchsorted membership probe per word occurrence.
+    Output: (id_col, n_words, n_oov, oov_frac)."""
+    vocab = top_ngrams(ds, text_col, 1, vocab_k)
+    from ..functions.hashing import stable_hash64_array
+    vh = np.unique(stable_hash64_array(vocab["gram"]).view(np.uint64))
+    ref = ray.put(vh)
+
+    def frac(batch: pa.Table) -> pa.Table:
+        v = _cached_ref(ref)
+        h, offs = word_ngram_hashes_batch(batch[text_col], 1)
+        nd = len(batch)
+        n_words = np.diff(offs)
+        hit = np.zeros(len(h), dtype=bool)
+        if len(h) and len(v):
+            pos = np.searchsorted(v, h)
+            inb = pos < len(v)
+            hit[inb] = v[pos[inb]] == h[inb]
+        doc_idx = np.repeat(np.arange(nd, dtype=np.int64), n_words)
+        n_in = np.bincount(doc_idx[hit], minlength=nd)
+        n_oov = n_words - n_in
+        return pa.table({
+            id_col: batch[id_col],
+            "n_words": pa.array(n_words.astype(np.int64)),
+            "n_oov": pa.array(n_oov.astype(np.int64)),
+            "oov_frac": pa.array(n_oov / np.maximum(n_words, 1)),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        frac, batch_format="pyarrow", batch_size=8192)

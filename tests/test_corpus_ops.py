@@ -493,3 +493,30 @@ FROM dg JOIN c USING (s) GROUP BY doc_id ORDER BY doc_id""").df()
     # planted near-dups share almost everything; the signal separates
     assert got["shared_frac"].max() > 0.5
     assert (got["shared_frac"] == 0).sum() > 250
+
+
+def test_oov_rate_matches_sql(ray_session):
+    import ray.data as rd
+    from dataquality_cli_ray.pipelines.corpus_ops import oov_rate
+
+    k = 10
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           override_num_blocks=8)
+    got = oov_rate(docs, "text", "doc_id", vocab_k=k).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    want = con.execute(f"""
+WITH w AS (SELECT doc_id, string_split(lower(coalesce(text,'')), ' ') AS ws
+           FROM read_parquet('{SF}/documents.parquet')),
+flat AS (SELECT doc_id, unnest(ws) AS word FROM w),
+vocab AS (SELECT word FROM (
+  SELECT word, count(*) AS cnt FROM flat GROUP BY word
+  ORDER BY cnt DESC, word ASC LIMIT {k})),
+per AS (SELECT doc_id, count(*) AS n_words,
+        count(*) FILTER (WHERE word NOT IN (SELECT word FROM vocab)) AS n_oov
+        FROM flat GROUP BY doc_id)
+SELECT doc_id, n_words, n_oov FROM per ORDER BY doc_id""").df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_words"].tolist() == want["n_words"].tolist()
+    assert got["n_oov"].tolist() == want["n_oov"].tolist()
+    assert got["oov_frac"].max() > 0      # the signal separates
