@@ -395,7 +395,7 @@ def run_scaling() -> dict:
             b1, t1 = snap()
             ncpu = os.cpu_count() or 32
             return (b1 - b0) / max(1, t1 - t0) * ncpu
-        bw_min = float(os.environ.get("SCALING_BW_MIN_GBS", "13"))
+        bw_min = float(os.environ.get("SCALING_BW_MIN_GBS", "18"))
         deadline = time.time() + max_wait
         while time.time() < deadline and busy_cpus() >= 2.0:
             time.sleep(2)
@@ -408,6 +408,11 @@ def run_scaling() -> dict:
     # a leg whose in-run steal share exceeds this was robbed by the
     # hypervisor co-tenant mid-run: re-run it (bounded retries)
     steal_limit = float(os.environ.get("SCALING_STEAL_LIMIT", "4.0"))
+    # a leg is also robbed if the shared DRAM bus degraded (co-tenant
+    # bandwidth pressure shows ZERO steal — round-3 confirm attempt 2
+    # read 15.9-16.0 GB/s gates and 0.74 efficiency at identical code);
+    # require the single-thread copy floor both BEFORE and AFTER the leg
+    bw_floor = float(os.environ.get("SCALING_BW_MIN_GBS", "18"))
 
     def one(ncpu: int) -> dict:
         # the wide leg saturates memory bandwidth, so co-tenant bandwidth
@@ -436,9 +441,13 @@ def run_scaling() -> dict:
             leg["steal_pct"] = round(d[7] / max(1, sum(d)) * 100.0, 2)
             leg["gate_steal_pct"] = round(gate_steal, 2)
             leg["gate_bw_gbs"] = round(gate_bw, 1)
+            leg["post_bw_gbs"] = round(bw_probe(), 1)
+            leg["clean"] = (leg["steal_pct"] < steal_limit
+                            and leg["gate_bw_gbs"] >= bw_floor
+                            and leg["post_bw_gbs"] >= bw_floor)
             if best is None or leg["value"] < best["value"]:
                 best = leg
-            if leg["steal_pct"] < steal_limit:
+            if leg["clean"]:
                 break
         return best
 
@@ -469,8 +478,7 @@ def run_scaling() -> dict:
     # robbed a leg measure the hypervisor, not the pipeline); if no
     # pair is clean, fall back to the median over all pairs
     clean = [r for r in results
-             if r[1]["steal_pct"] < steal_limit
-             and r[2]["steal_pct"] < steal_limit]
+             if r[1].get("clean") and r[2].get("clean")]
     eff, lo, hi = pick_median(clean or results)
     return {
         "metric": "scaling_efficiency_8_to_32_cpus",
@@ -487,7 +495,11 @@ def run_scaling() -> dict:
              "steal_pct_8": l.get("steal_pct"),
              "steal_pct_32": h.get("steal_pct"),
              "gate_bw_gbs_8": l.get("gate_bw_gbs"),
-             "gate_bw_gbs_32": h.get("gate_bw_gbs")} for e, l, h in results],
+             "gate_bw_gbs_32": h.get("gate_bw_gbs"),
+             "post_bw_gbs_8": l.get("post_bw_gbs"),
+             "post_bw_gbs_32": h.get("post_bw_gbs"),
+             "clean": bool(l.get("clean") and h.get("clean"))}
+            for e, l, h in results],
     }
 
 
