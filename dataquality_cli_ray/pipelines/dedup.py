@@ -1042,10 +1042,15 @@ def _min_per_hash(t: pa.Table, id_col: str) -> pa.Table:
 
 @ray.remote
 def _index_write_part(p: int, out_dir: str, id_col: str,
-                      *parts) -> int:
+                      bloom_fpr: float, *parts) -> int:
     """Reduce one partition to distinct (hash, winner) and write its
-    parquet file (atomic: tmp + rename)."""
+    parquet file (atomic: tmp + rename) plus, when ``bloom_fpr`` > 0,
+    a Bloom sidecar over the partition's hashes (~1.2 bytes/key at
+    1 % fpr) so incremental queries can skip the data read when none
+    of their hashes can possibly be present."""
     import os
+
+    from ..functions.bloom import bloom_build, bloom_params
 
     t = pa.concat_tables(parts)
     if t.num_rows == 0:
@@ -1056,6 +1061,14 @@ def _index_write_part(p: int, out_dir: str, id_col: str,
     tmp = os.path.join(d, ".data.parquet.tmp")
     pq.write_table(out, tmp)
     os.replace(tmp, os.path.join(d, "data.parquet"))
+    if bloom_fpr > 0:
+        m_bits, k = bloom_params(out.num_rows, bloom_fpr)
+        bits = bloom_build(
+            out["text_hash"].to_numpy(zero_copy_only=False), m_bits, k)
+        btmp = os.path.join(d, ".bloom.npz.tmp")
+        with open(btmp, "wb") as fh:
+            np.savez(fh, bits=bits, k=np.int64(k))
+        os.replace(btmp, os.path.join(d, "bloom.npz"))
     return out.num_rows
 
 
@@ -1074,14 +1087,30 @@ def _incr_filter_part(p: int, index_dir: str, id_col: str,
     m = _min_per_hash(t, id_col)
     files = sorted(glob.glob(os.path.join(index_dir, f"part={p}", "*.parquet")))
     if files:
+        hu = m["text_hash"].to_numpy(zero_copy_only=False)
+        maybe = None
+        bpath = os.path.join(index_dir, f"part={p}", "bloom.npz")
+        if os.path.exists(bpath):
+            # Bloom sidecar: no false negatives, so bloom-negative
+            # hashes are definitively absent — when NONE can hit,
+            # skip reading the (possibly huge) index partition.
+            from ..functions.bloom import bloom_probe
+
+            with np.load(bpath) as bz:
+                maybe = bloom_probe(hu, bz["bits"], int(bz["k"]))
+            if not maybe.any():
+                return m.select([id_col])
         idx = pa.concat_tables(pq.read_table(f, columns=["text_hash"])
                                for f in files)
         known = np.sort(idx["text_hash"].to_numpy(zero_copy_only=False))
-        hu = m["text_hash"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(known, hu)
+        probe = hu if maybe is None else hu[maybe]
+        pos = np.searchsorted(known, probe)
         inb = pos < len(known)
-        hit = np.zeros(len(hu), dtype=bool)
-        hit[inb] = known[pos[inb]] == hu[inb]
+        phit = np.zeros(len(probe), dtype=bool)
+        phit[inb] = known[pos[inb]] == probe[inb]
+        hit = phit if maybe is None else np.zeros(len(hu), dtype=bool)
+        if maybe is not None:
+            hit[maybe] = phit
         m = m.filter(pa.array(~hit))
     return m.select([id_col])
 
@@ -1099,13 +1128,17 @@ def _index_layout(index_dir: str) -> int:
 def build_dedup_index(
     ds: "rd.Dataset", text_col: str, id_col: str, out_dir: str,
     n_partitions: int = 64, split_group: int = 8,
+    bloom_fpr: float = 0.01,
 ) -> int:
     """Persist the corpus's exact-dedup index: one row per DISTINCT
     content hash, (text_hash, winner id), hash-partitioned on disk by
     ``part = mix(text_hash) % n_partitions`` so a later
     :func:`dedup_against_index` reads only the partitions it needs.
     One hash-partitioned exchange (the dup-reduce pattern), one
-    atomic parquet file per partition. Returns the distinct count."""
+    atomic parquet file per partition plus a Bloom sidecar
+    (``bloom_fpr`` ≤ 0 disables it) that lets incremental queries
+    skip partitions with zero possible hits. Returns the distinct
+    count."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -1119,7 +1152,7 @@ def build_dedup_index(
     if not split_outs:
         return 0
     counts = ray.get([
-        _index_write_part.remote(p, out_dir, id_col,
+        _index_write_part.remote(p, out_dir, id_col, bloom_fpr,
                                  *[s[p] for s in split_outs])
         for p in range(P)
     ])

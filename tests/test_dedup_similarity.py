@@ -397,6 +397,41 @@ def test_incremental_dedup_against_index(ray_session, tmp_path):
     kept = dedup_against_index(new, idx_dir, "text", "doc_id").to_pandas()
     assert sorted(kept["doc_id"].tolist()) == list(range(250, 500))
 
+    # Bloom sidecars were written next to every non-empty partition,
+    # and an index built WITHOUT them gives the identical answer
+    # (the sidecar is a read-skipping accelerator, not a semantic)
+    assert any(
+        os.path.exists(os.path.join(idx_dir, d, "bloom.npz"))
+        for d in os.listdir(idx_dir) if d.startswith("part="))
+    idx2 = str(tmp_path / "idx_nobloom")
+    build_dedup_index(hist, "text", "doc_id", idx2, n_partitions=16,
+                      bloom_fpr=0)
+    assert not any(
+        os.path.exists(os.path.join(idx2, d, "bloom.npz"))
+        for d in os.listdir(idx2) if d.startswith("part="))
+    kept2 = dedup_against_index(new, idx2, "text", "doc_id").to_pandas()
+    assert sorted(kept2["doc_id"].tolist()) == sorted(kept["doc_id"].tolist())
+
+
+def test_bloom_kernel_membership():
+    from dataquality_cli_ray.functions.bloom import (
+        bloom_build, bloom_params, bloom_probe)
+
+    rng = np.random.default_rng(7)
+    members = rng.integers(0, 2**63, size=20000, dtype=np.int64)
+    others = rng.integers(0, 2**63, size=20000, dtype=np.int64)
+    others = others[~np.isin(others, members)]
+    m_bits, k = bloom_params(len(members), fpr=0.01)
+    bits = bloom_build(members, m_bits, k)
+    # no false negatives — the exactness guarantee the skip relies on
+    assert bloom_probe(members, bits, k).all()
+    fpr = bloom_probe(others, bits, k).mean()
+    assert fpr < 0.05  # nominal 1% with power-of-two m headroom
+    # build is associative: OR of per-block builds == one-shot build
+    b2 = bloom_build(members[:9999], m_bits, k) | bloom_build(
+        members[9999:], m_bits, k)
+    assert (b2 == bits).all()
+
 
 def test_semdedup_planted_dups(ray_session):
     # tight planted near-dups (cosine ~0.999) — the regime SemDeDup
