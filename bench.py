@@ -238,6 +238,20 @@ def run_benchmarks() -> dict:
 
     timed("ann_topk", _ann)
 
+    # ---- CLIP-archetype image-caption alignment filter over the full
+    # headline fixture (stand-in towers; plumbing is the measured part)
+    def _align():
+        from dataquality_cli_ray.sources.readers import read_parquet_fast
+        from dataquality_cli_ray.stages.align import CaptionAlignStage
+        ds = read_parquet_fast(
+            img_path, columns=["image_id", "bytes", "caption"])
+        n = ds.map_batches(
+            CaptionAlignStage(), batch_format="pyarrow", batch_size=1024,
+        ).select_columns(["image_id", "align_score", "keep_align"]).count()
+        assert n == n_rows, (n, n_rows)
+
+    timed("images_caption_align", _align)
+
     # ---- multi-file directory profile: the reference's own headline
     # shape (41-file dir, README.md:108-119 -> 1.66 M rows/s) ----
     dir_stats = {}

@@ -1439,6 +1439,27 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 3
 ORDER BY id_a, id_b"""
 
 
+def q_images_caption_align(sf_dir: str) -> pd.DataFrame:
+    """CLIP-archetype image-caption alignment filter (LAION-style
+    curation: keep a pair only when the image and caption towers
+    agree; Schuhmann et al. 2021). Encoders are deterministic
+    stand-ins — see stages/align.py — the fused decode+score
+    map_batches stage, quarantine and threshold plumbing are the real
+    component. Golden-parquet oracle (batch-split invariance pinned
+    in tests/test_align.py)."""
+    from .fixtures.images import generate_images_parquet
+    from .stages.align import CaptionAlignStage
+
+    path = generate_images_parquet(2000, use_ray=False)
+    ds = read_parquet_small(path, columns=["image_id", "bytes", "caption"])
+    out = ds.map_batches(CaptionAlignStage(threshold=0.0),
+                         batch_format="pyarrow", batch_size=512)
+    df = out.select_columns(
+        ["image_id", "align_score", "keep_align"]).to_pandas()
+    df["align_score"] = round_half_up(df["align_score"], 6)
+    return df.sort_values("image_id").reset_index(drop=True)
+
+
 def q_images_describe(sf_dir: str) -> pd.DataFrame:
     from .fixtures.images import generate_images_parquet
 
@@ -1481,6 +1502,7 @@ GOLDEN_QUERIES = [
     "images_describe",
     "images_features",
     "images_resize",
+    "images_caption_align",
 ]
 
 
@@ -1573,6 +1595,7 @@ def build_queries() -> dict:
         "images_describe": q_images_describe,
         "images_features": q_images_features,
         "images_resize": q_images_resize,
+        "images_caption_align": q_images_caption_align,
     }
 
 

@@ -1,0 +1,113 @@
+"""Image-caption alignment stage (stages/align.py): batch-split
+invariance, per-row scalar-reference equality, quarantine semantics."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dataquality_cli_ray.functions import imagefake as IF
+from dataquality_cli_ray.functions.wordgrams import word_ngram_hashes_batch
+from dataquality_cli_ray.stages.align import (
+    GRID, CaptionAlignStage, _towers, caption_embed_batch)
+
+
+def _mk_rows(n=64, seed=11):
+    rng = np.random.default_rng(seed)
+    words = "sunset beach dog car tree mountain red blue two one".split()
+    ids, blobs, caps = [], [], []
+    for i in range(n):
+        w, h = int(rng.choice([4, 16, 32])), int(rng.choice([4, 16, 32]))
+        arr = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        blob = IF.encode_image(arr, "png")
+        if i % 17 == 5:
+            blob = b"nope" + bytes(8)          # undecodable
+        ids.append(f"t-{i:04d}")
+        blobs.append(blob)
+        caps.append(" ".join(rng.choice(words, int(rng.integers(1, 200)))))
+    caps[3] = ""                               # blank caption still scores
+    return pa.table({"image_id": ids,
+                     "bytes": pa.array(blobs, type=pa.binary()),
+                     "caption": caps})
+
+
+def _scores(t: pa.Table, batch_size: int) -> np.ndarray:
+    stage = CaptionAlignStage()
+    outs = [stage(t.slice(o, batch_size))
+            for o in range(0, t.num_rows, batch_size)]
+    out = pa.concat_tables(outs)
+    return out["align_score"].to_numpy(zero_copy_only=False)
+
+
+def test_align_batch_split_invariance():
+    t = _mk_rows(96)
+    a = _scores(t, 96)
+    b = _scores(t, 7)
+    assert np.array_equal(a, b, equal_nan=True)   # bit-identical
+
+
+def test_align_matches_scalar_reference():
+    """Vectorized stage == straightforward per-row implementation."""
+    t = _mk_rows(32)
+    got = _scores(t, 32)
+    d, buckets, seed = 64, 4096, 4242
+    p_img, p_txt = _towers(d, buckets, seed)
+    for i in range(t.num_rows):
+        blob = t["bytes"][i].as_py()
+        try:
+            arr, _ = IF.decode_image(blob)
+        except IF.CorruptImageError:
+            assert np.isnan(got[i])
+            continue
+        if arr.shape[0] < GRID:
+            arr = np.repeat(arr, -(-GRID // arr.shape[0]), axis=0)
+        if arr.shape[1] < GRID:
+            arr = np.repeat(arr, -(-GRID // arr.shape[1]), axis=1)
+        hh, ww = arr.shape[:2]
+        yb = (np.arange(GRID) * hh) // GRID
+        xb = (np.arange(GRID) * ww) // GRID
+        feat = np.empty((GRID, GRID, 3), dtype=np.float32)
+        for yi in range(GRID):
+            for xi in range(GRID):
+                y1 = hh if yi == GRID - 1 else yb[yi + 1]
+                x1 = ww if xi == GRID - 1 else xb[xi + 1]
+                cell = arr[yb[yi]:y1, xb[xi]:x1].astype(np.int64)
+                s = cell.reshape(-1, 3).sum(axis=0)
+                area = np.float32((y1 - yb[yi]) * (x1 - xb[xi]))
+                feat[yi, xi] = s.astype(np.float32) / area
+        fv = ((feat.reshape(-1) - np.float32(127.5)) / np.float32(127.5))
+        e = np.einsum("ik,kj->ij", fv[None, :], p_img)[0]
+        e = e / max(np.float32(np.sqrt(np.einsum("i,i->", e, e))),
+                    np.float32(1e-12))
+        hashes, _ = word_ngram_hashes_batch([t["caption"][i].as_py()], 1)
+        tok_i = p_txt[(hashes & np.uint64(buckets - 1)).astype(np.int64)]
+        # single-doc reduceat: position/layout-invariant (asserted by
+        # the batch-split test), so this pins the batched offset
+        # plumbing while reusing the same elementwise sum primitive
+        acc = np.add.reduceat(tok_i, np.array([0]), axis=0)[0]
+        c = acc / max(np.float32(np.sqrt(np.einsum("i,i->", acc, acc))),
+                      np.float32(1e-12))
+        want = np.float64(np.einsum("i,i->", e.astype(np.float32),
+                                    c.astype(np.float32)))
+        assert got[i] == pytest.approx(want, abs=0, rel=0), i
+
+
+def test_align_quarantine_and_threshold():
+    t = _mk_rows(64)
+    out = CaptionAlignStage(threshold=0.1)(t)
+    score = out["align_score"]
+    keep = out["keep_align"].to_numpy(zero_copy_only=False)
+    bad = np.asarray(score.is_null())
+    assert bad.any()                # corrupt rows present
+    assert not keep[bad].any()      # undecodable never kept
+    s = score.to_numpy(zero_copy_only=False)
+    fin = ~np.isnan(s)
+    assert np.array_equal(keep[fin], s[fin] >= 0.1)
+    assert np.nanmax(np.abs(s)) <= 1.0 + 1e-6
+
+
+def test_caption_tower_properties():
+    e = caption_embed_batch(["a dog on the beach", "a dog on the beach",
+                             "stock chart numbers", ""])
+    assert np.array_equal(e[0], e[1])            # same caption, same vector
+    assert not np.array_equal(e[0], e[2])
+    n = np.sqrt((e * e).sum(axis=1))
+    assert np.allclose(n, 1.0, atol=1e-5)        # unit norm (incl. empty)
