@@ -246,7 +246,7 @@ def run_benchmarks() -> dict:
         ds = read_parquet_fast(
             img_path, columns=["image_id", "bytes", "caption"])
         n = ds.map_batches(
-            CaptionAlignStage(), batch_format="pyarrow", batch_size=1024,
+            CaptionAlignStage(), batch_format="pyarrow", zero_copy_batch=True,
         ).select_columns(["image_id", "align_score", "keep_align"]).count()
         assert n == n_rows, (n, n_rows)
 

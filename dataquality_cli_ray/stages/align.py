@@ -11,8 +11,8 @@ stand-ins (clearly labeled, same policy as the fake codec,
 - image tower: 4x4 RGB grid-mean signature (48-d, exact integer cell
   sums) -> fixed seeded projection -> L2 normalize;
 - text tower: hashed-unigram bag (same word-split semantics as the
-  corpus ops, ``functions/wordgrams.py``) -> per-bucket embedding-table
-  gather + per-doc sum -> L2 normalize;
+  corpus ops, ``functions/wordgrams.py``) over an int8-quantized
+  embedding table -> exact integer per-doc sums -> L2 normalize;
 - align_score = cosine(image_emb, caption_emb).
 
 The Ray-side plumbing is the real component and mirrors what a real
@@ -24,11 +24,19 @@ convention, CLAUDE.md), undecodable rows quarantined with a null
 score, and a threshold keep flag. Swap :func:`_towers` for real model
 weights when an image library / checkpoint is available.
 
-Batch invariance (required by the golden oracle): every per-row value
-is computed from that row's own data only — ``einsum`` projections
-(no BLAS blocking that varies with batch height), per-segment
-``np.add.reduceat`` for caption sums, per-row dot for the cosine — so
-scores are bit-identical under any batch split (tests/test_align.py).
+Kernel-traffic design (the round-2/3 bandwidth lessons, BASELINE.md):
+every accumulation is EXACT INTEGER, so summation order is free and
+batch-split invariance (required by the golden oracle) is automatic —
+no float-order pinning needed:
+
+- caption sums run over a SWAR-packed table: 4 biased-uint16 lanes per
+  uint64 word (int8 weight + 128 per token per lane; segments are cut
+  at 256 tokens so a lane can never overflow), which cuts the
+  per-token gather+reduce traffic 2x/4x vs a float32 (T, 64) gather
+  (measured 16 -> ~6 us/row);
+- image cell sums use reshape-sums with uint16/uint32 accumulators
+  when the shape divides the grid (bit-equal to the general reduceat
+  fallback because integer sums are exact; measured 10 -> 4 us/row).
 """
 from __future__ import annotations
 
@@ -40,12 +48,20 @@ from ..functions.wordgrams import word_ngram_hashes_batch
 
 GRID = 4
 _FEAT = GRID * GRID * 3          # 48-d raw image signature
-_TOWERS: dict = {}               # (d, buckets, seed) -> (p_img, p_txt)
+_MAXSEG = 256                    # tokens per packed segment (lane bound)
+_TOWERS: dict = {}               # (d, buckets, seed) -> tower tables
 
 
-def _towers(d: int, buckets: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
-    """Fixed projection tables, built once per worker process.
-    Stand-in for real model weights (see module docstring)."""
+def _towers(d: int, buckets: int, seed: int
+            ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(p_img float32 (48, d), txt_q int8 (buckets, d), txt_packed
+    uint64 (buckets, d//4)) — fixed tables, built once per worker
+    process. Stand-in for real model weights (see module docstring).
+
+    ``txt_packed`` holds the SAME weights as ``txt_q`` biased by +128
+    into 4 uint16 lanes per uint64 word, so a packed segment sum of
+    <= 256 tokens never carries across lanes."""
+    assert d % 4 == 0, "text tower dim must pack into uint64 lanes"
     key = (d, buckets, seed)
     p = _TOWERS.get(key)
     if p is None:
@@ -54,9 +70,12 @@ def _towers(d: int, buckets: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
         rng = np.random.default_rng([seed, d, buckets])
         p_img = (rng.standard_normal((_FEAT, d)) / np.sqrt(_FEAT)
                  ).astype(np.float32)
-        p_txt = (rng.standard_normal((buckets, d)) / np.sqrt(d)
-                 ).astype(np.float32)
-        _TOWERS[key] = p = (p_img, p_txt)
+        txt_q = rng.integers(-127, 128, size=(buckets, d), dtype=np.int8)
+        biased = (txt_q.astype(np.int64) + 128).astype(np.uint64)
+        packed = np.zeros((buckets, d // 4), dtype=np.uint64)
+        for lane in range(4):
+            packed |= biased[:, lane::4] << np.uint64(16 * lane)
+        _TOWERS[key] = p = (p_img, txt_q, packed)
     return p
 
 
@@ -64,26 +83,64 @@ def caption_embed_batch(texts, d: int = 64, buckets: int = 4096,
                         seed: int = 4242) -> np.ndarray:
     """(n, d) L2-normalized caption embeddings (fake text tower).
 
-    Hashed-unigram bag: each word hashes to one of ``buckets`` rows of
-    the embedding table; the doc vector is the per-segment
-    ``reduceat`` sum (independent of neighboring docs, so batch-split
-    invariant). Word split = the corpus-ops convention
-    (``word_ngram_hashes_batch``: lower, single-space split; the empty
-    string is one empty word, so every doc has >= 1 unigram)."""
-    _, p_txt = _towers(d, buckets, seed)
+    Hashed-unigram bag: each word hashes to one row of the int8
+    embedding table; the doc vector is the exact integer sum of its
+    token rows (packed-lane kernel, see module docstring), so the
+    result is independent of any batch split. Word split = the
+    corpus-ops convention (``word_ngram_hashes_batch``: lower,
+    single-space split; the empty string is one empty word, so every
+    doc has >= 1 unigram)."""
+    _, _, packed = _towers(d, buckets, seed)
     hashes, offs = word_ngram_hashes_batch(texts, 1)
     n = len(offs) - 1
-    counts = np.diff(offs)
-    if len(hashes):
-        b = (hashes & np.uint64(buckets - 1)).astype(np.int64)
-        tok = p_txt[b]                              # (T, d) gather
-        starts = offs[:-1].clip(max=len(hashes) - 1).astype(np.int64)
-        sums = np.add.reduceat(tok, starts, axis=0)
-        sums[counts == 0] = 0.0                     # guard (unigrams: none)
-    else:
-        sums = np.zeros((n, d), dtype=np.float32)
+    counts = np.diff(offs).astype(np.int64)
+    if len(hashes) == 0:
+        return np.zeros((n, d), dtype=np.float32)
+    b = (hashes & np.uint64(buckets - 1)).astype(np.int64)
+    tok_p = packed[b]                              # (T, d//4) gather
+    n_seg = np.maximum(1, -(-counts // _MAXSEG))   # segments per doc
+    seg0 = np.cumsum(n_seg) - n_seg                # doc -> first segment
+    if n_seg.max() == 1:
+        seg_starts = offs[:-1].astype(np.int64)
+    else:                                          # split long docs
+        s_tot = int(n_seg.sum())
+        within = np.arange(s_tot) - np.repeat(seg0, n_seg)
+        seg_starts = np.repeat(offs[:-1].astype(np.int64), n_seg) \
+            + within * _MAXSEG
+    ps = np.add.reduceat(
+        tok_p, seg_starts.clip(max=len(b) - 1), axis=0)   # (S, d//4)
+    un = np.empty((ps.shape[0], d), dtype=np.int32)
+    for lane in range(4):
+        un[:, lane::4] = ((ps >> np.uint64(16 * lane))
+                          & np.uint64(0xFFFF)).astype(np.int32)
+    if ps.shape[0] != n:                           # fold split docs
+        un = np.add.reduceat(un, seg0, axis=0)
+    # remove the +128-per-token lane bias; values < 2^24, exact float32
+    sums = un.astype(np.float32) \
+        - np.float32(128.0) * counts.astype(np.float32)[:, None]
+    sums[counts == 0] = 0.0                        # guard (unigrams: none)
     norm = np.sqrt(np.einsum("ij,ij->i", sums, sums))
-    return sums / np.maximum(norm, 1e-12)[:, None]
+    return sums / np.maximum(norm, np.float32(1e-12))[:, None]
+
+
+def _grid_cell_sums(px: np.ndarray) -> np.ndarray:
+    """(k, GRID, GRID, 3) exact int64 per-cell pixel sums of a
+    (k, h, w, 3) uint8 stack. Reshape-sum fast path with narrow
+    accumulators when the shape divides the grid (the fixture's
+    16/32/64 sizes always do), general reduceat otherwise —
+    bit-identical because integer sums are order-free."""
+    k, hh, ww, _ = px.shape
+    if hh % GRID == 0 and ww % GRID == 0:
+        ry, rx = hh // GRID, ww // GRID
+        dt1 = np.uint16 if ry <= 257 else np.int64
+        dt2 = np.uint32 if ry * rx <= (1 << 32) // 256 else np.int64
+        rs = px.reshape(k, GRID, ry, ww, 3).sum(axis=2, dtype=dt1)
+        return rs.reshape(k, GRID, GRID, rx, 3).sum(
+            axis=3, dtype=dt2).astype(np.int64)
+    yb = (np.arange(GRID) * hh) // GRID
+    xb = (np.arange(GRID) * ww) // GRID
+    rs = np.add.reduceat(px, yb, axis=1, dtype=np.int64)
+    return np.add.reduceat(rs, xb, axis=2)
 
 
 def _image_embed_batch(col, d: int, buckets: int, seed: int
@@ -91,9 +148,8 @@ def _image_embed_batch(col, d: int, buckets: int, seed: int
     """((n, d) L2-normalized image embeddings, ok mask) — fake image
     tower over the FIMG payloads. Rows that fail the header parse get
     ok=False and a zero embedding. Binary-buffer access + same-shape
-    grouping follow ``DecodeImageStage`` (image_stages.py:52-120);
-    cell sums are exact int64, so the 48-d signature is bit-stable."""
-    p_img, _ = _towers(d, buckets, seed)
+    grouping follow ``DecodeImageStage`` (image_stages.py:52-120)."""
+    p_img, _, _ = _towers(d, buckets, seed)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
@@ -136,24 +192,18 @@ def _image_embed_batch(col, d: int, buckets: int, seed: int
         px = flat.reshape(k, hh, ww, 3)
         if hh < GRID:      # tiny images: nearest-upsample to grid size
             px = np.repeat(px, -(-GRID // hh), axis=1)
-            hh = px.shape[1]
         if ww < GRID:
             px = np.repeat(px, -(-GRID // ww), axis=2)
-            ww = px.shape[2]
-        yb = (np.arange(GRID) * hh) // GRID
-        xb = (np.arange(GRID) * ww) // GRID
-        # exact integer cell sums: reduceat over rows then cols
-        rs = np.add.reduceat(px, yb, axis=1, dtype=np.int64)
-        cs = np.add.reduceat(rs, xb, axis=2)        # (k, G, G, 3)
-        ycnt = np.diff(np.append(yb, hh))
-        xcnt = np.diff(np.append(xb, ww))
-        area = (ycnt[:, None] * xcnt[None, :]).astype(np.float32)
-        feat = (cs.astype(np.float32) / area[None, :, :, None]
-                ).reshape(k, _FEAT)
-        feat = (feat - np.float32(127.5)) / np.float32(127.5)
+        hh, ww = px.shape[1], px.shape[2]
+        cs = _grid_cell_sums(px)                    # exact int64
+        ycnt = np.diff(np.append((np.arange(GRID) * hh) // GRID, hh))
+        xcnt = np.diff(np.append((np.arange(GRID) * ww) // GRID, ww))
+        area = (ycnt[:, None] * xcnt[None, :]).astype(np.float64)
+        mean = cs / area[None, :, :, None]          # float64, exact in
+        feat = ((mean - 127.5) / 127.5).astype(np.float32).reshape(k, _FEAT)
         e = np.einsum("ik,kj->ij", feat, p_img)     # no-BLAS projection
         norm = np.sqrt(np.einsum("ij,ij->i", e, e))
-        emb[idxs] = e / np.maximum(norm, 1e-12)[:, None]
+        emb[idxs] = e / np.maximum(norm, np.float32(1e-12))[:, None]
     return emb, ok
 
 

@@ -24,6 +24,7 @@ def _mk_rows(n=64, seed=11):
         blobs.append(blob)
         caps.append(" ".join(rng.choice(words, int(rng.integers(1, 200)))))
     caps[3] = ""                               # blank caption still scores
+    caps[7] = " ".join(rng.choice(words, 1000))   # > _MAXSEG: split path
     return pa.table({"image_id": ids,
                      "bytes": pa.array(blobs, type=pa.binary()),
                      "caption": caps})
@@ -49,7 +50,7 @@ def test_align_matches_scalar_reference():
     t = _mk_rows(32)
     got = _scores(t, 32)
     d, buckets, seed = 64, 4096, 4242
-    p_img, p_txt = _towers(d, buckets, seed)
+    p_img, txt_q, _ = _towers(d, buckets, seed)
     for i in range(t.num_rows):
         blob = t["bytes"][i].as_py()
         try:
@@ -64,25 +65,24 @@ def test_align_matches_scalar_reference():
         hh, ww = arr.shape[:2]
         yb = (np.arange(GRID) * hh) // GRID
         xb = (np.arange(GRID) * ww) // GRID
-        feat = np.empty((GRID, GRID, 3), dtype=np.float32)
+        mean = np.empty((GRID, GRID, 3), dtype=np.float64)
         for yi in range(GRID):
             for xi in range(GRID):
                 y1 = hh if yi == GRID - 1 else yb[yi + 1]
                 x1 = ww if xi == GRID - 1 else xb[xi + 1]
                 cell = arr[yb[yi]:y1, xb[xi]:x1].astype(np.int64)
                 s = cell.reshape(-1, 3).sum(axis=0)
-                area = np.float32((y1 - yb[yi]) * (x1 - xb[xi]))
-                feat[yi, xi] = s.astype(np.float32) / area
-        fv = ((feat.reshape(-1) - np.float32(127.5)) / np.float32(127.5))
+                mean[yi, xi] = s / float((y1 - yb[yi]) * (x1 - xb[xi]))
+        fv = ((mean.reshape(-1) - 127.5) / 127.5).astype(np.float32)
         e = np.einsum("ik,kj->ij", fv[None, :], p_img)[0]
         e = e / max(np.float32(np.sqrt(np.einsum("i,i->", e, e))),
                     np.float32(1e-12))
         hashes, _ = word_ngram_hashes_batch([t["caption"][i].as_py()], 1)
-        tok_i = p_txt[(hashes & np.uint64(buckets - 1)).astype(np.int64)]
-        # single-doc reduceat: position/layout-invariant (asserted by
-        # the batch-split test), so this pins the batched offset
-        # plumbing while reusing the same elementwise sum primitive
-        acc = np.add.reduceat(tok_i, np.array([0]), axis=0)[0]
+        # exact integer token-row sum: order-free, so plain int64 sum
+        # is a fully independent reference for the packed-lane kernel
+        acc_i = txt_q[(hashes & np.uint64(buckets - 1)).astype(np.int64)
+                      ].astype(np.int64).sum(axis=0)
+        acc = acc_i.astype(np.float32)
         c = acc / max(np.float32(np.sqrt(np.einsum("i,i->", acc, acc))),
                       np.float32(1e-12))
         want = np.float64(np.einsum("i,i->", e.astype(np.float32),
