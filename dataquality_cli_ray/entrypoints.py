@@ -1217,6 +1217,24 @@ def q_images_quality(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("image_id").reset_index(drop=True)
 
 
+def q_images_quality_aligned(sf_dir: str) -> pd.DataFrame:
+    """Flagship pipeline with the CLIP-archetype alignment rule ON
+    (cfg.align_threshold): adds align_score to the output schema and
+    'misaligned' as a drop_reason between the model rules and dedup —
+    the LAION-style curation composition. Golden-parquet oracle;
+    precedence semantics pinned in tests/test_align.py."""
+    from .fixtures.images import generate_images_parquet
+    from .pipelines.quality import images_quality_pipeline
+    from .stages.rules import QualityConfig
+
+    path = generate_images_parquet(2000, use_ray=False)
+    out = images_quality_pipeline(
+        path, QualityConfig(align_threshold=0.0)).to_pandas()
+    for c in ("lang_score", "ppl", "align_score"):
+        out[c] = round_half_up(out[c], 6)
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
 OOV_VOCAB_K = 10                  # fixture has 31 distinct words
 
 
@@ -1505,6 +1523,7 @@ GOLDEN_QUERIES = [
     "images_features",
     "images_resize",
     "images_caption_align",
+    "images_quality_aligned",
 ]
 
 
@@ -1598,6 +1617,7 @@ def build_queries() -> dict:
         "images_features": q_images_features,
         "images_resize": q_images_resize,
         "images_caption_align": q_images_caption_align,
+        "images_quality_aligned": q_images_quality_aligned,
     }
 
 

@@ -66,6 +66,13 @@ OUTPUT_COLS = [
     "lang_pred", "lang_score", "ppl", "pii_hits", "phash",
 ]
 
+
+def _out_cols(cfg) -> list[str]:
+    """Output schema; + align_score when the alignment rule is on."""
+    if cfg is not None and cfg.align_threshold is not None:
+        return OUTPUT_COLS + ["align_score"]
+    return OUTPUT_COLS
+
 # rows above which the dup aggregation stops merging on the driver and
 # uses the partitioned distributed reduce instead (mode="auto");
 # env-overridable for A/B tuning
@@ -486,6 +493,12 @@ class QualityFusedStage:
                  decode: bool = True, keep_bytes: bool = False):
         self.rules = HeuristicRules(cfg)
         self.decode = DecodeImageStage() if decode else None
+        if cfg.align_threshold is not None:
+            from ..stages.align import CaptionAlignStage
+            self.align = CaptionAlignStage(threshold=cfg.align_threshold,
+                                           caption_col=cfg.caption_col)
+        else:
+            self.align = None
         self.langid = LangIdScorer(langid_ref, min_score=cfg.langid_min_score)
         self.ppl = PerplexityScorer(ppl_ref, max_ppl=cfg.max_perplexity)
         self.scrub = PiiScrubber()
@@ -495,6 +508,16 @@ class QualityFusedStage:
         out = self.rules(batch)
         if self.decode is not None:
             out = self.decode(out)
+        if self.align is not None:
+            # needs the payload — runs before the bytes drop below;
+            # rule fires only for DECODABLE rows below threshold
+            # (undecodable rows are decode_error's, which precedes
+            # misaligned in RULE_ORDER anyway)
+            out = self.align(out)
+            mis = pc.and_(pc.invert(out["keep_align"]),
+                          pc.is_valid(out["align_score"]))
+            out = out.drop_columns(["keep_align"])
+            out = out.append_column("rule_misaligned", mis)
         # drop the image payload as soon as decode is done: labels flow
         # on without round-tripping megabytes per row through the object
         # store (keep_bytes=True for pass-through sinks)
@@ -517,7 +540,7 @@ _DUP_CACHE: dict = {}
 def _fused_task_fn(batch: pa.Table, *, cfg, langid_ref, ppl_ref,
                    decode, keep_bytes) -> pa.Table:
     key = (langid_ref.hex() if hasattr(langid_ref, "hex") else id(langid_ref),
-           decode, keep_bytes)
+           decode, keep_bytes, cfg.align_threshold)
     stage = _STAGE_CACHE.get(key)
     if stage is None:
         stage = QualityFusedStage(cfg, langid_ref, ppl_ref,
@@ -690,13 +713,13 @@ def quality_pipeline(
         out = out.map_batches(
             _mark_finalize_task_fn,
             fn_kwargs={"dup_ref": dup_ref,
-                       "select_cols": OUTPUT_COLS if select_output else None},
+                       "select_cols": _out_cols(cfg) if select_output else None},
             batch_format="pyarrow", batch_size=batch_size,
             zero_copy_batch=True, **mark_args,
         )
         return out
     if select_output:
-        out = out.select_columns(OUTPUT_COLS)
+        out = out.select_columns(_out_cols(cfg))
     return out
 
 
@@ -746,7 +769,7 @@ def _single_read_pipeline(
     return labels.map_batches(
         _mark_finalize_task_fn,
         fn_kwargs={"dup_ref": dup_ref,
-                   "select_cols": OUTPUT_COLS if select_output else None},
+                   "select_cols": _out_cols(cfg) if select_output else None},
         batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     )

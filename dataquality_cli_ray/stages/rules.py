@@ -36,6 +36,10 @@ class QualityConfig:
     # stateful-stage thresholds
     langid_min_score: float = 0.22    # max-cosine below this => lang_unknown
     max_perplexity: float = 14.0      # bits/char above this => high_perplexity
+    # image-caption alignment (CLIP-archetype, stages/align.py):
+    # None = stage off (default — flagship golden unchanged); a float
+    # enables the dual-tower cosine rule (drop when score < threshold)
+    align_threshold: float | None = None
     # dedup
     dedup_key: str = "phash"
     id_col: str = "image_id"
@@ -44,7 +48,8 @@ class QualityConfig:
 # Order matters: first firing rule = drop_reason. Heuristics first
 # (cheap), then model stages, then the wide dedup decision.
 HEURISTIC_RULES = ("null_blank", "length_bounds", "char_class", "fmt_whitelist")
-STATEFUL_RULES = ("decode_error", "lang_unknown", "high_perplexity")
+STATEFUL_RULES = ("decode_error", "lang_unknown", "high_perplexity",
+                  "misaligned")
 WIDE_RULES = ("phash_dup",)
 RULE_ORDER = HEURISTIC_RULES + STATEFUL_RULES + WIDE_RULES
 

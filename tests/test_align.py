@@ -104,6 +104,39 @@ def test_align_quarantine_and_threshold():
     assert np.nanmax(np.abs(s)) <= 1.0 + 1e-6
 
 
+def test_align_rule_in_flagship(ray_session, images_path, models):
+    """align_threshold wires the alignment rule into the flagship:
+    align_score in the output, 'misaligned' as a drop_reason that
+    fires only after every earlier rule passed, and the default
+    config's output schema unchanged."""
+    from dataquality_cli_ray.pipelines.quality import images_quality_pipeline
+    from dataquality_cli_ray.stages.rules import QualityConfig
+
+    lm, pm = models
+    base = images_quality_pipeline(
+        images_path, QualityConfig(), langid_model=lm, ppl_model=pm,
+        model_concurrency=1).to_pandas().sort_values("image_id")
+    assert "align_score" not in base.columns      # default: stage off
+    cfg = QualityConfig(align_threshold=0.0)
+    out = images_quality_pipeline(
+        images_path, cfg, langid_model=lm, ppl_model=pm,
+        model_concurrency=1).to_pandas().sort_values("image_id")
+    assert "align_score" in out.columns
+    mis = out["drop_reason"] == "misaligned"
+    assert mis.any()
+    assert (out.loc[mis, "align_score"] < 0.0).all()
+    # precedence: a row dropped as misaligned passed every earlier rule,
+    # so its base-run drop_reason must have been dedup (later) or none
+    prior = base.set_index("image_id").loc[
+        out.loc[mis, "image_id"], "drop_reason"]
+    assert prior.isin([None, np.nan, "phash_dup"]).all()
+    # rows the base run dropped for an earlier reason keep that reason
+    early = base["drop_reason"].notna() & (base["drop_reason"] != "phash_dup")
+    same = out.set_index("image_id").loc[
+        base.loc[early, "image_id"], "drop_reason"]
+    assert (same.values == base.loc[early, "drop_reason"].values).all()
+
+
 def test_caption_tower_properties():
     e = caption_embed_batch(["a dog on the beach", "a dog on the beach",
                              "stock chart numbers", ""])
