@@ -142,7 +142,9 @@ def cmd_quality(args) -> int:
     if not files:
         print("no parquet inputs found", file=sys.stderr)
         return 2
-    cfg = QualityConfig()
+    cfg = QualityConfig(align_threshold=args.align_threshold,
+                        min_image_px=args.min_image_px,
+                        max_aspect=args.max_aspect)
     langid_model, ppl_model = build_models()
     # dedup decision over ALL inputs (cross-shard correctness), pruned
     # scan; auto-switches driver-merge -> groupby shuffle on size
@@ -286,6 +288,14 @@ def main(argv=None) -> int:
                    default="auto",
                    help="phash-dedup aggregation: driver merge below "
                         "the footer-row threshold, groupby shuffle above")
+    q.add_argument("--align-threshold", type=float, default=None,
+                   help="enable the image-caption alignment rule "
+                        "(CLIP-archetype cosine; drop below threshold)")
+    q.add_argument("--min-image-px", type=int, default=None,
+                   help="drop images whose decoded min(w,h) is below this")
+    q.add_argument("--max-aspect", type=float, default=None,
+                   help="drop images with decoded max(w,h)/min(w,h) "
+                        "above this")
     q.set_defaults(fn=cmd_quality)
 
     c = sub.add_parser("corpus", help="corpus-level training-data ops")

@@ -1218,10 +1218,11 @@ def q_images_quality(sf_dir: str) -> pd.DataFrame:
 
 
 def q_images_quality_aligned(sf_dir: str) -> pd.DataFrame:
-    """Flagship pipeline with the CLIP-archetype alignment rule ON
-    (cfg.align_threshold): adds align_score to the output schema and
-    'misaligned' as a drop_reason between the model rules and dedup —
-    the LAION-style curation composition. Golden-parquet oracle;
+    """Flagship pipeline with the LAION-style curation extensions ON:
+    the CLIP-archetype alignment rule (cfg.align_threshold — adds
+    align_score to the output schema and 'misaligned' as a drop_reason
+    between the model rules and dedup) and the decoded-aspect gate
+    (cfg.max_aspect → 'image_size'). Golden-parquet oracle;
     precedence semantics pinned in tests/test_align.py."""
     from .fixtures.images import generate_images_parquet
     from .pipelines.quality import images_quality_pipeline
@@ -1229,7 +1230,8 @@ def q_images_quality_aligned(sf_dir: str) -> pd.DataFrame:
 
     path = generate_images_parquet(2000, use_ray=False)
     out = images_quality_pipeline(
-        path, QualityConfig(align_threshold=0.0)).to_pandas()
+        path, QualityConfig(align_threshold=0.0,
+                            max_aspect=2.5)).to_pandas()
     for c in ("lang_score", "ppl", "align_score"):
         out[c] = round_half_up(out[c], 6)
     return out.sort_values("image_id").reset_index(drop=True)

@@ -503,11 +503,26 @@ class QualityFusedStage:
         self.ppl = PerplexityScorer(ppl_ref, max_ppl=cfg.max_perplexity)
         self.scrub = PiiScrubber()
         self.keep_bytes = keep_bytes
+        self.min_px, self.max_aspect = cfg.min_image_px, cfg.max_aspect
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = self.rules(batch)
         if self.decode is not None:
             out = self.decode(out)
+        if (self.min_px is not None or self.max_aspect is not None) \
+                and "dec_w" in out.column_names:
+            # LAION-style size/aspect gate on the DECODED dims (both 0
+            # for undecodable rows, which belong to decode_error)
+            w = out["dec_w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            h = out["dec_h"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lo, hi = np.minimum(w, h), np.maximum(w, h)
+            bad = np.zeros(len(w), dtype=bool)
+            if self.min_px is not None:
+                bad |= lo < self.min_px
+            if self.max_aspect is not None:
+                bad |= hi > self.max_aspect * lo
+            out = out.append_column("rule_image_size",
+                                    pa.array(bad & (lo > 0)))
         if self.align is not None:
             # needs the payload — runs before the bytes drop below;
             # rule fires only for DECODABLE rows below threshold
@@ -540,7 +555,8 @@ _DUP_CACHE: dict = {}
 def _fused_task_fn(batch: pa.Table, *, cfg, langid_ref, ppl_ref,
                    decode, keep_bytes) -> pa.Table:
     key = (langid_ref.hex() if hasattr(langid_ref, "hex") else id(langid_ref),
-           decode, keep_bytes, cfg.align_threshold)
+           decode, keep_bytes, cfg.align_threshold,
+           cfg.min_image_px, cfg.max_aspect)
     stage = _STAGE_CACHE.get(key)
     if stage is None:
         stage = QualityFusedStage(cfg, langid_ref, ppl_ref,

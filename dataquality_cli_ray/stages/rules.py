@@ -40,6 +40,11 @@ class QualityConfig:
     # None = stage off (default — flagship golden unchanged); a float
     # enables the dual-tower cosine rule (drop when score < threshold)
     align_threshold: float | None = None
+    # decoded-dimension gates (LAION-style curation: drop tiny or
+    # extreme-aspect images); None = off. Evaluated on DECODED dims
+    # (dec_w/dec_h), so they compose with meta-validation for free.
+    min_image_px: int | None = None      # min(dec_w, dec_h) lower bound
+    max_aspect: float | None = None      # max(w,h)/min(w,h) upper bound
     # dedup
     dedup_key: str = "phash"
     id_col: str = "image_id"
@@ -48,8 +53,8 @@ class QualityConfig:
 # Order matters: first firing rule = drop_reason. Heuristics first
 # (cheap), then model stages, then the wide dedup decision.
 HEURISTIC_RULES = ("null_blank", "length_bounds", "char_class", "fmt_whitelist")
-STATEFUL_RULES = ("decode_error", "lang_unknown", "high_perplexity",
-                  "misaligned")
+STATEFUL_RULES = ("decode_error", "image_size", "lang_unknown",
+                  "high_perplexity", "misaligned")
 WIDE_RULES = ("phash_dup",)
 RULE_ORDER = HEURISTIC_RULES + STATEFUL_RULES + WIDE_RULES
 

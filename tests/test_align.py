@@ -137,6 +137,37 @@ def test_align_rule_in_flagship(ray_session, images_path, models):
     assert (same.values == base.loc[early, "drop_reason"].values).all()
 
 
+def test_image_size_rule(ray_session, images_path, models):
+    """min_image_px / max_aspect fire as 'image_size' on DECODED dims,
+    never on undecodable rows, and respect rule precedence."""
+    import pyarrow.parquet as pq
+
+    from dataquality_cli_ray.pipelines.quality import images_quality_pipeline
+    from dataquality_cli_ray.stages.rules import QualityConfig
+
+    cfg = QualityConfig(min_image_px=17, max_aspect=2.5)
+    out = images_quality_pipeline(
+        images_path, cfg, langid_model=models[0], ppl_model=models[1],
+        model_concurrency=1).to_pandas().set_index("image_id")
+    meta = pq.read_table(images_path, columns=["image_id", "w", "h"]
+                         ).to_pandas().set_index("image_id")
+    m = out.join(meta)
+    fired = m["drop_reason"] == "image_size"
+    assert fired.any()
+    lo = np.minimum(m["w"], m["h"])
+    hi = np.maximum(m["w"], m["h"])
+    should = (lo < 17) | (hi > 2.5 * lo)
+    # every image_size drop satisfies the predicate on its (true) dims
+    assert should[fired].all()
+    # rows matching the predicate but NOT dropped as image_size were
+    # taken by an earlier rule (heuristics or decode_error)
+    other = m.loc[should & ~fired, "drop_reason"]
+    assert other.notna().all()
+    from dataquality_cli_ray.stages.rules import RULE_ORDER
+    earlier = set(RULE_ORDER[:RULE_ORDER.index("image_size")])
+    assert set(other.unique()) <= earlier
+
+
 def test_caption_tower_properties():
     e = caption_embed_batch(["a dog on the beach", "a dog on the beach",
                              "stock chart numbers", ""])
