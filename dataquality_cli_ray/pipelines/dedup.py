@@ -70,7 +70,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Min, Sum
 
-from ..functions.arrays import list_col_to_matrix
+from ..functions.arrays import ids_np, list_col_to_matrix
 from ..functions.hashing import (
     MinHasher,
     char_shingle_hashes,
@@ -875,11 +875,11 @@ def embedding_dup_pairs_bruteforce(
             batch_size=65536, batch_format="pyarrow"):
         if b.num_rows == 0:
             continue
-        ids_l.extend(b[id_col].to_pylist())
+        ids_l.append(ids_np(b[id_col]))
         vecs_l.append(list_col_to_matrix(b[vec_col], dtype=np.float64))
     M = np.concatenate(vecs_l)
     M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-    all_ids = np.asarray(ids_l)
+    all_ids = np.concatenate(ids_l)
     order = np.argsort(all_ids)
     M, all_ids = M[order], all_ids[order]
     ref = ray.put((all_ids, M))
@@ -889,7 +889,7 @@ def embedding_dup_pairs_bruteforce(
         q = list_col_to_matrix(batch[vec_col], dtype=np.float64)
         # zero-copy matrices are read-only (plasma buffer) — not in-place
         q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        qids = np.asarray(batch[id_col].to_pylist())
+        qids = ids_np(batch[id_col])
         sims = q @ M_b.T
         ia, ib, cs = [], [], []
         for i in range(len(qids)):

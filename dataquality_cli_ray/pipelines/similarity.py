@@ -20,7 +20,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..functions.arrays import list_col_to_matrix
+from ..functions.arrays import ids_np, list_col_to_matrix
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -59,7 +59,7 @@ def brute_force_topk(
     def local_topk(batch: pa.Table) -> pa.Table:
         qids_b, Q_b = _cached_ref(qref)
         m = _as_matrix(batch[vec_col])
-        ids = np.asarray(batch[id_col].to_pylist())
+        ids = ids_np(batch[id_col])
         sims = m @ Q_b.T                             # (B, Q)
         out_q, out_v, out_s = [], [], []
         kk = min(k, len(ids))
@@ -114,7 +114,7 @@ def lsh_topk(
         qids_b, Q_b, H_b, probes_b = _cached_ref(pref)
         m = _as_matrix(batch[vec_col])
         keys = _keys(m, H_b)
-        ids = np.asarray(batch[id_col].to_pylist())
+        ids = ids_np(batch[id_col])
         out_q, out_v, out_s = [], [], []
         for key in np.unique(keys):
             qis = probes_b.get(int(key))
@@ -283,7 +283,7 @@ def ivf_topk(
         qids_b, Q_b, C_b, probes_b = _cached_ref(pref)
         m = _as_matrix(batch[vec_col])
         cells = np.argmax(m @ C_b.T, axis=1)
-        ids = np.asarray(batch[id_col].to_pylist())
+        ids = ids_np(batch[id_col])
         out_q, out_v, out_s = [], [], []
         for cell in np.unique(cells):
             qis = probes_b.get(int(cell))
