@@ -252,6 +252,16 @@ def run_benchmarks() -> dict:
 
     timed("images_caption_align", _align)
 
+    # ---- caption-frequency cap (LAION boilerplate-caption dedup) over
+    # the headline fixture: first K rows per exact caption ----
+    def _caption_cap():
+        from dataquality_cli_ray.pipelines import corpus_ops as CO
+        ds = read_parquet_small(
+            img_path, columns=["image_id", "caption"])
+        CO.cap_per_key(ds, "caption", "image_id", 2)
+
+    timed("images_caption_cap", _caption_cap)
+
     # ---- multi-file directory profile: the reference's own headline
     # shape (41-file dir, README.md:108-119 -> 1.66 M rows/s) ----
     dir_stats = {}

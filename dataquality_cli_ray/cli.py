@@ -144,7 +144,8 @@ def cmd_quality(args) -> int:
         return 2
     cfg = QualityConfig(align_threshold=args.align_threshold,
                         min_image_px=args.min_image_px,
-                        max_aspect=args.max_aspect)
+                        max_aspect=args.max_aspect,
+                        min_contrast=args.min_contrast)
     langid_model, ppl_model = build_models()
     # dedup decision over ALL inputs (cross-shard correctness), pruned
     # scan; auto-switches driver-merge -> groupby shuffle on size
@@ -296,6 +297,9 @@ def main(argv=None) -> int:
     q.add_argument("--max-aspect", type=float, default=None,
                    help="drop images with decoded max(w,h)/min(w,h) "
                         "above this")
+    q.add_argument("--min-contrast", type=float, default=None,
+                   help="drop near-solid images: decoded pixel std "
+                        "below this (low_information)")
     q.set_defaults(fn=cmd_quality)
 
     c = sub.add_parser("corpus", help="corpus-level training-data ops")

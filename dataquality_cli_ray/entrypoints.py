@@ -1221,8 +1221,10 @@ def q_images_quality_aligned(sf_dir: str) -> pd.DataFrame:
     """Flagship pipeline with the LAION-style curation extensions ON:
     the CLIP-archetype alignment rule (cfg.align_threshold — adds
     align_score to the output schema and 'misaligned' as a drop_reason
-    between the model rules and dedup) and the decoded-aspect gate
-    (cfg.max_aspect → 'image_size'). Golden-parquet oracle;
+    between the model rules and dedup), the decoded-aspect gate
+    (cfg.max_aspect → 'image_size') and the low-information gate
+    (cfg.min_contrast → 'low_information': near-solid images by the
+    decode stage's pixel population-std). Golden-parquet oracle;
     precedence semantics pinned in tests/test_align.py."""
     from .fixtures.images import generate_images_parquet
     from .pipelines.quality import images_quality_pipeline
@@ -1231,7 +1233,8 @@ def q_images_quality_aligned(sf_dir: str) -> pd.DataFrame:
     path = generate_images_parquet(2000, use_ray=False)
     out = images_quality_pipeline(
         path, QualityConfig(align_threshold=0.0,
-                            max_aspect=2.5)).to_pandas()
+                            max_aspect=2.5,
+                            min_contrast=54.5)).to_pandas()
     for c in ("lang_score", "ppl", "align_score"):
         out[c] = round_half_up(out[c], 6)
     return out.sort_values("image_id").reset_index(drop=True)
@@ -1445,6 +1448,38 @@ def q_images_phash_neardup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+CAPTION_CAP_K = 2
+
+
+def q_images_caption_cap(sf_dir: str) -> pd.DataFrame:
+    """LAION-style caption-frequency cap: keep the first K image rows
+    per EXACT caption (web-scale image-text sets dedup boilerplate
+    captions — 'image', '', stock phrases — that repeat across
+    thousands of URLs). Same distributed op as the per-source quota
+    (corpus_ops.cap_per_key: <= K rows per (key, block) leave any
+    task); TRUE SQL oracle via ROW_NUMBER over the same fixture."""
+    from .fixtures.images import generate_images_parquet
+    from .pipelines import corpus_ops as CO
+
+    path = generate_images_parquet(2000, use_ray=False)
+    ds = read_parquet_small(path, columns=["image_id", "caption"])
+    t = CO.cap_per_key(ds, "caption", "image_id", CAPTION_CAP_K)
+    df = t.to_pandas()[["image_id", "caption"]]
+    return df.sort_values("image_id").reset_index(drop=True)
+
+
+def sql_images_caption_cap() -> str:
+    from .fixtures.images import generate_images_parquet
+
+    path = generate_images_parquet(2000, use_ray=False)
+    f = f"{path}/part-0.parquet"
+    return f"""SELECT image_id, caption FROM (
+  SELECT image_id, caption,
+         row_number() OVER (PARTITION BY caption ORDER BY image_id) AS rn
+  FROM read_parquet('{f}')) WHERE rn <= {CAPTION_CAP_K}
+ORDER BY image_id"""
+
+
 def sql_images_phash_neardup() -> str:
     from .fixtures.images import generate_images_parquet
 
@@ -1615,6 +1650,7 @@ def build_queries() -> dict:
         "docs_oov_rate": q_docs_oov_rate,
         "images_quality": q_images_quality,
         "images_phash_neardup": q_images_phash_neardup,
+        "images_caption_cap": q_images_caption_cap,
         "images_describe": q_images_describe,
         "images_features": q_images_features,
         "images_resize": q_images_resize,
@@ -1671,5 +1707,6 @@ def build_oracles() -> dict:
         "docs_ngram_jaccard": sql_docs_ngram_jaccard(),
         "docs_dup_clusters": sql_docs_dup_clusters(),
         "images_phash_neardup": sql_images_phash_neardup(),
+        "images_caption_cap": sql_images_caption_cap(),
         **golden_oracles(),
     }

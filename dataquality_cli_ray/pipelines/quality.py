@@ -504,6 +504,7 @@ class QualityFusedStage:
         self.scrub = PiiScrubber()
         self.keep_bytes = keep_bytes
         self.min_px, self.max_aspect = cfg.min_image_px, cfg.max_aspect
+        self.min_contrast = cfg.min_contrast
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = self.rules(batch)
@@ -523,6 +524,17 @@ class QualityFusedStage:
                 bad |= hi > self.max_aspect * lo
             out = out.append_column("rule_image_size",
                                     pa.array(bad & (lo > 0)))
+        if self.min_contrast is not None \
+                and "contrast" in out.column_names:
+            # low-information gate on the decode stage's population-std
+            # (near-solid images); decodable rows only — undecodable
+            # ones have contrast 0 and belong to decode_error, which
+            # precedes low_information in RULE_ORDER
+            c = out["contrast"].to_numpy(zero_copy_only=False)
+            dw = out["dec_w"].to_numpy(zero_copy_only=False)
+            out = out.append_column(
+                "rule_low_information",
+                pa.array((c < self.min_contrast) & (dw > 0)))
         if self.align is not None:
             # needs the payload — runs before the bytes drop below;
             # rule fires only for DECODABLE rows below threshold
@@ -556,7 +568,7 @@ def _fused_task_fn(batch: pa.Table, *, cfg, langid_ref, ppl_ref,
                    decode, keep_bytes) -> pa.Table:
     key = (langid_ref.hex() if hasattr(langid_ref, "hex") else id(langid_ref),
            decode, keep_bytes, cfg.align_threshold,
-           cfg.min_image_px, cfg.max_aspect)
+           cfg.min_image_px, cfg.max_aspect, cfg.min_contrast)
     stage = _STAGE_CACHE.get(key)
     if stage is None:
         stage = QualityFusedStage(cfg, langid_ref, ppl_ref,

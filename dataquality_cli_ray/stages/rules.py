@@ -45,6 +45,11 @@ class QualityConfig:
     # (dec_w/dec_h), so they compose with meta-validation for free.
     min_image_px: int | None = None      # min(dec_w, dec_h) lower bound
     max_aspect: float | None = None      # max(w,h)/min(w,h) upper bound
+    # low-information gate (near-solid / flat images carry no training
+    # signal): drop decodable rows whose pixel population-std falls
+    # below this; None = off. Uses the contrast the decode stage
+    # already computed — the gate itself touches no pixels.
+    min_contrast: float | None = None
     # dedup
     dedup_key: str = "phash"
     id_col: str = "image_id"
@@ -53,8 +58,8 @@ class QualityConfig:
 # Order matters: first firing rule = drop_reason. Heuristics first
 # (cheap), then model stages, then the wide dedup decision.
 HEURISTIC_RULES = ("null_blank", "length_bounds", "char_class", "fmt_whitelist")
-STATEFUL_RULES = ("decode_error", "image_size", "lang_unknown",
-                  "high_perplexity", "misaligned")
+STATEFUL_RULES = ("decode_error", "image_size", "low_information",
+                  "lang_unknown", "high_perplexity", "misaligned")
 WIDE_RULES = ("phash_dup",)
 RULE_ORDER = HEURISTIC_RULES + STATEFUL_RULES + WIDE_RULES
 

@@ -175,3 +175,45 @@ def test_caption_tower_properties():
     assert not np.array_equal(e[0], e[2])
     n = np.sqrt((e * e).sum(axis=1))
     assert np.allclose(n, 1.0, atol=1e-5)        # unit norm (incl. empty)
+
+
+def test_low_information_rule(ray_session, images_path, models):
+    """min_contrast fires as 'low_information' on the decode stage's
+    pixel std, only for decodable rows, respecting rule precedence;
+    a truly flat image reads contrast 0 and is always below any
+    positive threshold."""
+    import ray.data as rd
+
+    from dataquality_cli_ray.pipelines.quality import images_quality_pipeline
+    from dataquality_cli_ray.stages.image_stages import DecodeImageStage
+    from dataquality_cli_ray.stages.rules import RULE_ORDER, QualityConfig
+
+    # flat image → population std exactly 0
+    flat = IF.encode_image(np.full((8, 8, 3), 77, dtype=np.uint8), "png")
+    one = pa.table({"image_id": ["flat-0"],
+                    "bytes": pa.array([flat], type=pa.binary())})
+    dec = DecodeImageStage(validate_meta=False)(one)
+    assert dec["contrast"][0].as_py() == 0.0
+
+    thr = 55.7  # fixture median-ish: fires on ~half the decodable rows
+    cfg = QualityConfig(min_contrast=thr)
+    out = images_quality_pipeline(
+        images_path, cfg, langid_model=models[0], ppl_model=models[1],
+        model_concurrency=1).to_pandas().set_index("image_id")
+    fired = out["drop_reason"] == "low_information"
+    assert fired.any()
+    # recompute contrast independently over the same fixture
+    contrast = (
+        rd.read_parquet(images_path)
+        .map_batches(DecodeImageStage(), batch_format="pyarrow")
+        .select_columns(["image_id", "contrast", "dec_w"])
+        .to_pandas().set_index("image_id"))
+    m = out.join(contrast)
+    should = (m["contrast"] < thr) & (m["dec_w"] > 0)
+    # every low_information drop satisfies the predicate
+    assert should[fired].all()
+    # predicate rows not dropped as low_information went to earlier rules
+    other = m.loc[should & ~fired, "drop_reason"]
+    assert other.notna().all()
+    earlier = set(RULE_ORDER[:RULE_ORDER.index("low_information")])
+    assert set(other.unique()) <= earlier
