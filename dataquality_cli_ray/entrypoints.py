@@ -1463,8 +1463,11 @@ def q_images_caption_cap(sf_dir: str) -> pd.DataFrame:
 
     path = generate_images_parquet(2000, use_ray=False)
     ds = read_parquet_small(path, columns=["image_id", "caption"])
-    t = CO.cap_per_key(ds, "caption", "image_id", CAPTION_CAP_K)
-    df = t.to_pandas()[["image_id", "caption"]]
+    # the distributed (hash-partitioned) variant: captions are a
+    # high-cardinality key, the winner set must not land on the driver
+    kept = CO.cap_per_key_dataset(ds, "caption", "image_id",
+                                  CAPTION_CAP_K)
+    df = kept.to_pandas()[["image_id", "caption"]]
     return df.sort_values("image_id").reset_index(drop=True)
 
 

@@ -158,10 +158,11 @@ def cap_per_key(
     <= K`` exactly. Scale: each block reduces to <= K rows per key it
     contains before anything moves (combiner), then a tree of Ray
     tasks merges the partials in groups; the final table is bounded by
-    K x (global distinct keys). For key cardinalities whose capped
-    winner set itself outgrows one node, partition the tree by
-    ``hash(key) % P`` first — same exchange the dup reduce uses
-    (quality.dup_losers_from_refs); not needed below ~1e8 keys.
+    K x (global distinct keys) and lands on the DRIVER. For key
+    cardinalities whose capped winner set itself outgrows one node
+    (exact captions, URLs — ~1e8+ keys at web scale), use
+    :func:`cap_per_key_dataset`: same semantics, hash-partitioned by
+    key, kept rows stay in the object store.
 
     ``caps`` replaces the scalar ``k`` with a per-key cap table
     (``(key_col, cap)``) — see :func:`stratified_sample_per_key`. The
@@ -190,6 +191,43 @@ def cap_per_key(
     if isinstance(out, (pa.RecordBatch,)):
         out = pa.Table.from_batches([out])
     return _cap_partial(out, key_col, id_col, k, caps)
+
+
+def cap_per_key_dataset(
+    ds: "rd.Dataset", key_col: str, id_col: str, k: int,
+    caps: pa.Table | None = None, num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """:func:`cap_per_key` for high-cardinality keys: identical
+    ROW_NUMBER-<=-K semantics, but the kept ``(key, id)`` set is
+    hash-partitioned by key (the dedup pipelines' split/merge exchange)
+    and returned as a Dataset — the winner set never materializes on
+    the driver, so exact-caption / URL caps at web scale stay bounded
+    by K x (keys per partition) per task. Feed the result to
+    ``dedup.semi_join_filter`` to apply the cap to the full table."""
+    from .dedup import _exchange
+
+    caps_ref = ray.put(caps) if caps is not None else None
+    parts = ds.select_columns([key_col, id_col]).map_batches(
+        lambda t: _cap_partial(
+            t, key_col, id_col, k,
+            _cached_ref(caps_ref) if caps_ref is not None else None),
+        batch_format="pyarrow", batch_size=65536,
+    )
+    refs = []
+    for bundle in parts.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    if not refs:
+        return rd.from_arrow(pa.table(
+            {key_col: pa.array([], type=pa.string()),
+             id_col: pa.array([], type=pa.int64())}))
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    P = num_partitions or max(2, min(32, cpus))
+    merged = _exchange(refs, key_col, P, _cap_combine,
+                       key_col, id_col, k, caps_ref)
+    return rd.from_arrow_refs(merged)
 
 
 # ---------------------------------------------------------------- #

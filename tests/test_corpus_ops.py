@@ -152,6 +152,28 @@ ORDER BY source, doc_id""").fetch_arrow_table()
     assert got.column("doc_id").to_pylist() == want.column("doc_id").to_pylist()
 
 
+def test_cap_per_key_dataset_matches_tree(ray_session):
+    """The hash-partitioned (high-cardinality) cap returns exactly the
+    tree-reduce path's rows — scalar k and per-key caps table, string
+    key, multiple partitions so the exchange actually splits."""
+    import pyarrow as pa
+    import ray.data as rd
+    from dataquality_cli_ray.pipelines.corpus_ops import (
+        cap_per_key, cap_per_key_dataset)
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           override_num_blocks=8)
+    for caps, k in [(None, 3),
+                    (pa.table({"source": ["src3", "src18"],
+                               "cap": [5, 2]}), 0)]:
+        tree = cap_per_key(docs, "source", "doc_id", k, caps=caps)
+        part = (cap_per_key_dataset(docs, "source", "doc_id", k,
+                                    caps=caps, num_partitions=4)
+                .to_pandas().sort_values(["source", "doc_id"]))
+        assert part["source"].tolist() == tree.column("source").to_pylist()
+        assert part["doc_id"].tolist() == tree.column("doc_id").to_pylist()
+
+
 def test_top_ngrams_matches_sql(ray_session):
     import ray.data as rd
     from dataquality_cli_ray.pipelines.corpus_ops import top_ngrams
