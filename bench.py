@@ -192,6 +192,10 @@ def run_benchmarks() -> dict:
         read_parquet_small(f"{SF_DIR}/documents.parquet",
                            columns=["doc_id", "text"]),
         "text", "doc_id", n=5))
+    timed("docs_span_dedup", lambda: CO.remove_duplicate_spans(
+        read_parquet_small(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"]),
+        "text", "doc_id", n=5).count())
 
     def _incr():
         import shutil

@@ -233,6 +233,9 @@ def cmd_corpus(args) -> int:
     elif op == "shared-spans":
         small = CO.cross_doc_shared_grams(ds, args.text_col, args.id_col,
                                           n=args.ngram)
+    elif op == "span-dedup":
+        out = CO.remove_duplicate_spans(ds, args.text_col, args.id_col,
+                                        n=args.ngram)
     elif op == "resample":
         out = CO.temperature_resample(ds, args.key_col, args.id_col,
                                       alpha=args.alpha)
@@ -308,7 +311,7 @@ def main(argv=None) -> int:
                                   "source-cap", "top-ngrams",
                                   "quantile-filter", "pack",
                                   "stratified-sample", "resample",
-                                  "split", "shard", "shared-spans",
+                                  "split", "shard", "shared-spans", "span-dedup",
                                   "build-index", "dedup-vs-index",
                                   "quality-lr", "oov-rate"])
     c.add_argument("--input", required=True)

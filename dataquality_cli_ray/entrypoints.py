@@ -1076,6 +1076,49 @@ def q_docs_shared_spans(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_docs_span_dedup(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-span REMOVAL (exact-substring dedup, Lee et al. 2022,
+    remove-all-copies variant at word-5-gram granularity): every word
+    covered by a corpus-duplicated gram is cut and the text rebuilt —
+    the rewrite step downstream of the `docs_shared_spans` detector
+    (corpus_ops.remove_duplicate_spans: occurrence exchange by gram
+    hash → coverage exchange by doc → hash-partitioned join +
+    vectorized rebuild)."""
+    from .pipelines import corpus_ops as CO
+
+    docs = read_parquet_small(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    t = CO.remove_duplicate_spans(docs, "text", "doc_id", n=XDOC_N)
+    return t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_docs_span_dedup(n: int = XDOC_N) -> str:
+    """TRUE string-level oracle: dup grams by exact string count >= 2
+    (all occurrences — within-doc repeats included), coverage expanded
+    per occurrence, surviving words re-joined in order (Ray compares
+    64-bit gram hashes; collision odds 2^-64 per unequal pair)."""
+    return f"""WITH w AS (
+  SELECT doc_id, string_split(lower(coalesce(text,'')), ' ') AS ws
+  FROM documents),
+g AS (SELECT doc_id, i, array_to_string(ws[i:i+{n - 1}], ' ') AS s
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws)-{n}+1)) AS i FROM w)),
+dup AS (SELECT s FROM g GROUP BY s HAVING count(*) >= 2),
+cov AS (SELECT DISTINCT doc_id, i + d AS wi
+        FROM g JOIN dup USING (s)
+        CROSS JOIN (SELECT unnest(generate_series(0, {n - 1})) AS d)),
+words AS (SELECT doc_id, unnest(ws) AS word,
+                 unnest(generate_series(1, len(ws))) AS wi FROM w),
+j AS (SELECT wo.doc_id, wo.wi, wo.word, c.wi IS NOT NULL AS covered
+      FROM words wo LEFT JOIN cov c ON c.doc_id = wo.doc_id AND c.wi = wo.wi)
+SELECT doc_id,
+       coalesce(string_agg(word, ' ' ORDER BY wi)
+                FILTER (WHERE NOT covered), '') AS clean_text,
+       count(*)::BIGINT AS n_words,
+       count(*) FILTER (WHERE covered)::BIGINT AS n_removed
+FROM j GROUP BY doc_id ORDER BY doc_id"""
+
+
 def sql_docs_ngram_jaccard(threshold: float = 0.5) -> str:
     """TRUE exact-Jaccard self-join over the char-5-gram shingle sets
     (lowercased, pad-to-5 for short texts — the exact semantics of
@@ -1631,6 +1674,7 @@ def build_queries() -> dict:
         "docs_hash_split": q_docs_hash_split,
         "docs_shard_counts": q_docs_shard_counts,
         "docs_shared_spans": q_docs_shared_spans,
+        "docs_span_dedup": q_docs_span_dedup,
         "docs_incremental_dedup": q_docs_incremental_dedup,
         # embeddings
         "ann_topk": q_ann_topk,
@@ -1703,6 +1747,7 @@ def build_oracles() -> dict:
         "docs_hash_split": sql_docs_hash_split(),
         "docs_shard_counts": sql_docs_shard_counts(),
         "docs_shared_spans": sql_docs_shared_spans(),
+        "docs_span_dedup": sql_docs_span_dedup(),
         "docs_incremental_dedup": sql_docs_incremental_dedup(),
         "docs_oov_rate": sql_docs_oov_rate(),
         "ann_topk": sql_ann_topk(),

@@ -971,3 +971,183 @@ def oov_rate(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         frac, batch_format="pyarrow", batch_size=8192)
+
+
+# ---------------------------------------------------------------- #
+# duplicate-span REMOVAL (exact-substring dedup, Lee et al. 2022)    #
+# ---------------------------------------------------------------- #
+# cross_doc_shared_grams DETECTS duplicated spans; this op REWRITES
+# the text: every word covered by any occurrence of a word n-gram that
+# appears >= 2 times corpus-wide (within- or cross-document) is
+# removed, and the surviving words are re-joined with single spaces —
+# the remove-all-copies variant of Lee et al. 2022 §3 ("Deduplicating
+# Training Data Makes Language Models Better"; they note removing
+# every copy as the conservative option; keep-one requires a global
+# occurrence ordering that serializes the exchange).
+#
+# Plan (three streaming stages, no driver state):
+#   1. per-batch combiner emits every gram OCCURRENCE (hash, doc, pos);
+#   2. gram-hash-partitioned exchange: each partition counts its hashes
+#      and keeps occurrences of grams with count >= 2 (dup spans only —
+#      output is O(duplicated grams), usually << O(grams));
+#   3. doc-hash-partitioned exchange folds covered positions into one
+#      list<int32> row per affected doc; a hash-partitioned LEFT OUTER
+#      Dataset.join puts that row next to its text, and a final
+#      map_batches rebuilds the strings vectorized (interval-delta
+#      coverage mask over the word-bounds decomposition, one byte
+#      gather — no Python strings).
+#
+# Hash-vs-string equality caveat as :func:`decontaminate` (2^-64 per
+# unequal gram pair). Docs with < n words have no grams, are never
+# covered, and round-trip unchanged (modulo lower(); single-space
+# join is exact because the split is single-space).
+
+
+def _span_occ_partial(t: pa.Table, text_col: str, id_col: str,
+                      n: int) -> pa.Table:
+    seg, starts, ends, gram_offs = word_ngram_spans_batch(t[text_col], n)
+    h = hash_spans(seg, starts, ends)
+    g = np.diff(gram_offs)
+    doc_of_g = np.repeat(np.arange(t.num_rows, dtype=np.int64), g)
+    ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    pos = (np.arange(len(h), dtype=np.int64)
+           - gram_offs[doc_of_g]).astype(np.int32)
+    return pa.table({"h": pa.array(h.view(np.int64)),
+                     "doc": pa.array(ids[doc_of_g]),
+                     "pos": pa.array(pos)})
+
+
+@ray.remote
+def _span_dup_occ(*parts: pa.Table) -> pa.Table:
+    """Per-gram-hash partition: keep occurrences of hashes seen >= 2
+    times (total occurrences — within-doc repeats count)."""
+    t = pa.concat_tables(parts)
+    if t.num_rows == 0:
+        return t.select(["doc", "pos"])
+    h = t["h"].to_numpy(zero_copy_only=False)
+    _, inv, cnt = np.unique(h, return_inverse=True, return_counts=True)
+    return t.filter(pa.array(cnt[inv] >= 2)).select(["doc", "pos"])
+
+
+@ray.remote
+def _span_cov_lists(id_col: str, *parts: pa.Table) -> pa.Table:
+    """Per-doc partition: fold covered gram-start positions into one
+    row per doc — the positions ride as a little-endian int32-packed
+    BINARY column (Acero's hash join can't carry list<> payloads)."""
+    t = pa.concat_tables(parts)
+    if t.num_rows == 0:
+        return pa.table({id_col: pa.array([], type=pa.int64()),
+                         "__cov": pa.array([], type=pa.binary())})
+    doc = t["doc"].to_numpy(zero_copy_only=False)
+    pos = t["pos"].to_numpy(zero_copy_only=False)
+    o = np.lexsort((pos, doc))
+    doc, pos = doc[o], pos[o]
+    new = np.ones(len(doc), dtype=bool)
+    new[1:] = doc[1:] != doc[:-1]
+    starts = np.flatnonzero(new)
+    offs = np.append(starts, len(doc)) * 4
+    if offs[-1] >= (1 << 31):
+        raise ValueError("covered-span buffer exceeds int32 offsets")
+    cov = pa.BinaryArray.from_buffers(
+        pa.binary(), len(starts),
+        [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
+         pa.py_buffer(pos.astype("<i4").tobytes())])
+    return pa.table({id_col: pa.array(doc[starts]), "__cov": cov})
+
+
+def _span_rebuild(t: pa.Table, text_col: str, id_col: str,
+                  n: int) -> pa.Table:
+    arr = lower_filled(t[text_col])
+    nd = len(arr)
+    seg, ws, we, word_offs, w_per_doc = word_bounds(arr)
+    W = len(ws)
+    doc_of_word = np.repeat(np.arange(nd, dtype=np.int64), w_per_doc)
+    delta = np.zeros(W + 1, dtype=np.int32)
+    cov = t["__cov"].combine_chunks() if "__cov" in t.column_names \
+        else pa.nulls(nd, type=pa.binary())
+    lens = pc.binary_length(cov).fill_null(0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64) // 4
+    bufs = cov.buffers()
+    if bufs[2] is not None and lens.sum():
+        boffs = np.frombuffer(bufs[1], dtype=np.int32)[
+            cov.offset: cov.offset + nd + 1].astype(np.int64)
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+        # nulls may leave gaps/garbage between slots: gather only the
+        # valid slots' bytes, in row order
+        take = (np.arange(int(lens.sum() * 4), dtype=np.int64)
+                - np.repeat(np.cumsum(np.append(0, lens * 4))[:-1], lens * 4)
+                + np.repeat(boffs[:-1], lens * 4))
+        flat = data[take].view("<i4").astype(np.int64)
+        doc_of_c = np.repeat(np.arange(nd, dtype=np.int64), lens)
+        gs = word_offs[doc_of_c] + flat
+        np.add.at(delta, gs, 1)
+        np.add.at(delta, gs + n, -1)
+    covered = np.cumsum(delta[:-1]) > 0
+    keep = ~covered
+    klen = (we - ws)[keep]
+    kdoc = doc_of_word[keep]
+    kws = ws[keep]
+    n_kept = np.bincount(kdoc, minlength=nd).astype(np.int64)
+    # output layout: kept words joined by single spaces, per doc
+    out_word = klen + 1                       # word + one space
+    kept_cum = np.zeros(nd + 1, dtype=np.int64)
+    np.cumsum(n_kept, out=kept_cum[1:])
+    word_out = np.zeros(len(klen) + 1, dtype=np.int64)
+    np.cumsum(out_word, out=word_out[1:])
+    doc_start_sp = word_out[kept_cum[:-1]]    # with-trailing-space space
+    doc_len = (word_out[kept_cum[1:]] - doc_start_sp
+               - (n_kept > 0))                # drop the trailing space
+    out_offs = np.zeros(nd + 1, dtype=np.int64)
+    np.cumsum(doc_len, out=out_offs[1:])
+    total = int(out_offs[-1])
+    if total >= (1 << 31):
+        raise ValueError("rebuilt batch exceeds int32 string offsets")
+    buf = np.full(total, 0x20, dtype=np.uint8)
+    if len(klen):
+        within = word_out[:-1] - doc_start_sp[kdoc]
+        wb = np.zeros(len(klen) + 1, dtype=np.int64)
+        np.cumsum(klen, out=wb[1:])
+        tw = int(wb[-1])
+        base = np.arange(tw, dtype=np.int64) - np.repeat(wb[:-1], klen)
+        buf[base + np.repeat(out_offs[kdoc] + within, klen)] = \
+            seg[base + np.repeat(kws, klen)]
+    clean = pa.StringArray.from_buffers(
+        nd, pa.py_buffer(out_offs.astype(np.int32).tobytes()),
+        pa.py_buffer(buf.tobytes()))
+    n_removed = np.bincount(doc_of_word[covered], minlength=nd) \
+        .astype(np.int64)
+    return pa.table({id_col: t[id_col], "clean_text": clean,
+                     "n_words": pa.array(w_per_doc.astype(np.int64)),
+                     "n_removed": pa.array(n_removed)})
+
+
+def remove_duplicate_spans(
+    ds: "rd.Dataset", text_col: str = "text", id_col: str = "doc_id",
+    n: int = 5, num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """Remove every word covered by a corpus-duplicated word n-gram and
+    rebuild the text (module comment above). Output per input row:
+    ``(id_col, clean_text, n_words, n_removed)``."""
+    from .dedup import _exchange
+
+    occ = ds.select_columns([id_col, text_col]).map_batches(
+        lambda t: _span_occ_partial(t, text_col, id_col, n),
+        batch_format="pyarrow", batch_size=8192)
+    refs = []
+    for bundle in occ.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    P = num_partitions or max(2, min(32, cpus))
+    base = ds.select_columns([id_col, text_col])
+    if refs:
+        dup_occ = _exchange(refs, "h", P, _span_dup_occ)
+        cov_refs = _exchange(dup_occ, "doc", P, _span_cov_lists, id_col)
+        cov_ds = rd.from_arrow_refs(cov_refs).repartition(P)
+        base = base.join(cov_ds, join_type="left_outer",
+                         num_partitions=P, on=(id_col,))
+    return base.map_batches(
+        lambda t: _span_rebuild(t, text_col, id_col, n),
+        batch_format="pyarrow", batch_size=8192)

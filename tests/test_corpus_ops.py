@@ -542,3 +542,33 @@ SELECT doc_id, n_words, n_oov FROM per ORDER BY doc_id""").df()
     assert got["n_words"].tolist() == want["n_words"].tolist()
     assert got["n_oov"].tolist() == want["n_oov"].tolist()
     assert got["oov_frac"].max() > 0      # the signal separates
+
+
+def test_remove_duplicate_spans_semantics(ray_session):
+    """Edge semantics of the span-removal rewrite: case-folded match,
+    whole-gram coverage, untouched docs round-trip (lowercased), empty
+    and short docs unchanged, within-doc repeats also removed."""
+    import pyarrow as pa
+    import ray.data as rd
+    from dataquality_cli_ray.pipelines.corpus_ops import (
+        remove_duplicate_spans)
+
+    docs = pa.table({
+        "doc_id": pa.array(range(6), type=pa.int64()),
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "a different sentence THE QUICK BROWN FOX JUMPS here",
+                 "totally unique words nothing shared at all okay",
+                 "",
+                 "short one",
+                 "x y a b c d e then a b c d e again"],  # within-doc dup
+    })
+    out = (remove_duplicate_spans(rd.from_arrow(docs), n=5)
+           .to_pandas().sort_values("doc_id").set_index("doc_id"))
+    assert out.loc[0, "clean_text"] == "over the lazy dog"
+    assert out.loc[1, "clean_text"] == "a different sentence here"
+    assert int(out.loc[0, "n_removed"]) == 5
+    assert out.loc[2, "clean_text"] == docs["text"][2].as_py()
+    assert out.loc[3, "clean_text"] == "" and int(out.loc[3, "n_words"]) == 1
+    assert out.loc[4, "clean_text"] == "short one"
+    assert out.loc[5, "clean_text"] == "x y then again"
+    assert int(out.loc[5, "n_removed"]) == 10
