@@ -1018,15 +1018,29 @@ def _span_occ_partial(t: pa.Table, text_col: str, id_col: str,
 
 
 @ray.remote
-def _span_dup_occ(*parts: pa.Table) -> pa.Table:
+def _span_dup_occ(keep_first: bool, *parts: pa.Table) -> pa.Table:
     """Per-gram-hash partition: keep occurrences of hashes seen >= 2
-    times (total occurrences — within-doc repeats count)."""
+    times (total occurrences — within-doc repeats count). With
+    ``keep_first`` the earliest occurrence of each dup gram (smallest
+    (doc, pos)) is spared — exact per gram because the exchange routes
+    ALL occurrences of a hash to one partition."""
     t = pa.concat_tables(parts)
     if t.num_rows == 0:
         return t.select(["doc", "pos"])
     h = t["h"].to_numpy(zero_copy_only=False)
     _, inv, cnt = np.unique(h, return_inverse=True, return_counts=True)
-    return t.filter(pa.array(cnt[inv] >= 2)).select(["doc", "pos"])
+    dup = cnt[inv] >= 2
+    if keep_first and dup.any():
+        doc = t["doc"].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # rank occurrences within each gram by (doc, pos); spare rank 0
+        o = np.lexsort((pos, doc, inv))
+        first = np.zeros(len(h), dtype=bool)
+        newg = np.ones(len(h), dtype=bool)
+        newg[1:] = inv[o][1:] != inv[o][:-1]
+        first[o[newg]] = True
+        dup &= ~first
+    return t.filter(pa.array(dup)).select(["doc", "pos"])
 
 
 @ray.remote
@@ -1124,10 +1138,16 @@ def _span_rebuild(t: pa.Table, text_col: str, id_col: str,
 def remove_duplicate_spans(
     ds: "rd.Dataset", text_col: str = "text", id_col: str = "doc_id",
     n: int = 5, num_partitions: int | None = None,
+    keep_first: bool = False,
 ) -> "rd.Dataset":
     """Remove every word covered by a corpus-duplicated word n-gram and
     rebuild the text (module comment above). Output per input row:
-    ``(id_col, clean_text, n_words, n_removed)``."""
+    ``(id_col, clean_text, n_words, n_removed)``.
+
+    ``keep_first=True`` spares each dup gram's earliest occurrence
+    (smallest (doc, pos)) — the keep-one-copy semantics of Lee et al.
+    2022 at gram granularity (a spared word can still be cut when a
+    DIFFERENT gram's non-first occurrence covers it)."""
     from .dedup import _exchange
 
     occ = ds.select_columns([id_col, text_col]).map_batches(
@@ -1143,7 +1163,7 @@ def remove_duplicate_spans(
     P = num_partitions or max(2, min(32, cpus))
     base = ds.select_columns([id_col, text_col])
     if refs:
-        dup_occ = _exchange(refs, "h", P, _span_dup_occ)
+        dup_occ = _exchange(refs, "h", P, _span_dup_occ, keep_first)
         cov_refs = _exchange(dup_occ, "doc", P, _span_cov_lists, id_col)
         cov_ds = rd.from_arrow_refs(cov_refs).repartition(P)
         base = base.join(cov_ds, join_type="left_outer",

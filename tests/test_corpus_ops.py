@@ -572,3 +572,50 @@ def test_remove_duplicate_spans_semantics(ray_session):
     assert out.loc[4, "clean_text"] == "short one"
     assert out.loc[5, "clean_text"] == "x y then again"
     assert int(out.loc[5, "n_removed"]) == 10
+
+
+def test_remove_duplicate_spans_keep_first_matches_sql(ray_session):
+    """keep_first=True (Lee et al. keep-one-copy at gram granularity)
+    matches a DuckDB rebuild where coverage excludes each dup gram's
+    earliest (doc_id, position) occurrence."""
+    import ray.data as rd
+    from dataquality_cli_ray.pipelines.corpus_ops import (
+        remove_duplicate_spans)
+
+    n = 5
+    con = duckdb.connect()
+    want = con.execute(f"""
+WITH w AS (SELECT doc_id, string_split(lower(coalesce(text,'')), ' ') AS ws
+           FROM read_parquet('{SF}/documents.parquet')),
+g AS (SELECT doc_id, i, array_to_string(ws[i:i+{n - 1}], ' ') AS s,
+             row_number() OVER (PARTITION BY array_to_string(ws[i:i+{n - 1}], ' ')
+                                ORDER BY doc_id, i) AS rn,
+             count(*) OVER (PARTITION BY array_to_string(ws[i:i+{n - 1}], ' ')) AS c
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws)-{n}+1)) AS i FROM w)),
+cov AS (SELECT DISTINCT doc_id, i + d AS wi
+        FROM g CROSS JOIN (SELECT unnest(generate_series(0, {n - 1})) AS d)
+        WHERE c >= 2 AND rn >= 2),
+words AS (SELECT doc_id, unnest(ws) AS word,
+                 unnest(generate_series(1, len(ws))) AS wi FROM w),
+j AS (SELECT wo.doc_id, wo.wi, wo.word, c.wi IS NOT NULL AS covered
+      FROM words wo LEFT JOIN cov c ON c.doc_id = wo.doc_id AND c.wi = wo.wi)
+SELECT doc_id,
+       coalesce(string_agg(word, ' ' ORDER BY wi)
+                FILTER (WHERE NOT covered), '') AS clean_text,
+       count(*) FILTER (WHERE covered)::BIGINT AS n_removed
+FROM j GROUP BY doc_id ORDER BY doc_id""").df()
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           override_num_blocks=8)
+    got = (remove_duplicate_spans(docs, "text", "doc_id", n=n,
+                                  keep_first=True)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["clean_text"].tolist() == want["clean_text"].tolist()
+    assert got["n_removed"].tolist() == want["n_removed"].tolist()
+    # keep_first must actually differ from remove-all on this corpus
+    # (spared first occurrences), or the test proves nothing
+    alltoo = (remove_duplicate_spans(docs, "text", "doc_id", n=n)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (got["n_removed"] < alltoo["n_removed"]).any()
+    assert (got["n_removed"] <= alltoo["n_removed"]).all()
