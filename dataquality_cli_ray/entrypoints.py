@@ -1526,6 +1526,45 @@ def sql_images_caption_cap() -> str:
 ORDER BY image_id"""
 
 
+def q_images_phash_clusters(sf_dir: str) -> pd.DataFrame:
+    """Image near-dup CLUSTERS: the phash-Hamming pair list (the
+    `images_phash_neardup` banded path) folded to transitive connected
+    components via dedup.dup_clusters — cluster_id = min member
+    image_id, the keep-first representative an image dedup pipeline
+    keeps per visual-duplicate group."""
+    from .fixtures.images import generate_images_parquet
+
+    path = generate_images_parquet(2000, use_ray=False)
+    ds = read_parquet_small(path, columns=["image_id", "phash"])
+    pairs = DD.hamming_neardup_pairs(ds, "phash", "image_id",
+                                     max_hamming=3)
+    out = DD.dup_clusters(pairs).to_pandas()
+    out = out.rename(columns={"doc_id": "image_id"})
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+def sql_images_phash_clusters() -> str:
+    from .fixtures.images import generate_images_parquet
+
+    path = generate_images_parquet(2000, use_ray=False)
+    f = f"{path}/part-0.parquet"
+    return f"""WITH RECURSIVE
+t AS (SELECT image_id, phash FROM read_parquet('{f}')),
+pairs AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b
+  FROM t a JOIN t b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+SELECT a AS image_id, least(a, min(b)) AS cluster_id
+FROM reach GROUP BY a ORDER BY image_id"""
+
+
 def sql_images_phash_neardup() -> str:
     from .fixtures.images import generate_images_parquet
 
@@ -1697,6 +1736,7 @@ def build_queries() -> dict:
         "docs_oov_rate": q_docs_oov_rate,
         "images_quality": q_images_quality,
         "images_phash_neardup": q_images_phash_neardup,
+        "images_phash_clusters": q_images_phash_clusters,
         "images_caption_cap": q_images_caption_cap,
         "images_describe": q_images_describe,
         "images_features": q_images_features,
@@ -1755,6 +1795,7 @@ def build_oracles() -> dict:
         "docs_ngram_jaccard": sql_docs_ngram_jaccard(),
         "docs_dup_clusters": sql_docs_dup_clusters(),
         "images_phash_neardup": sql_images_phash_neardup(),
+        "images_phash_clusters": sql_images_phash_clusters(),
         "images_caption_cap": sql_images_caption_cap(),
         **golden_oracles(),
     }
