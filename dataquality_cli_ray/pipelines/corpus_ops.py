@@ -224,7 +224,10 @@ def cap_per_key_dataset(
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    P = num_partitions or max(2, min(32, cpus))
+    # partition count tracks the input block count: a 2-block input
+    # through 32 merge tasks is pure task-latency (the
+    # cross_doc_shared_grams heuristic); large inputs still fan to CPUs
+    P = num_partitions or max(2, min(32, cpus, len(refs)))
     merged = _exchange(refs, key_col, P, _cap_combine,
                        key_col, id_col, k, caps_ref)
     return rd.from_arrow_refs(merged)
@@ -1160,7 +1163,7 @@ def remove_duplicate_spans(
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    P = num_partitions or max(2, min(32, cpus))
+    P = num_partitions or max(2, min(32, cpus, 2 * len(refs)))
     base = ds.select_columns([id_col, text_col])
     if refs:
         dup_occ = _exchange(refs, "h", P, _span_dup_occ, keep_first)
