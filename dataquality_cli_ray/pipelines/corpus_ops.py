@@ -1151,26 +1151,59 @@ def remove_duplicate_spans(
     (smallest (doc, pos)) — the keep-one-copy semantics of Lee et al.
     2022 at gram granularity (a spared word can still be cut when a
     DIFFERENT gram's non-first occurrence covers it)."""
-    from .dedup import _exchange
+    from .dedup import _exchange, _exchange_split_task
 
-    occ = ds.select_columns([id_col, text_col]).map_batches(
-        lambda t: _span_occ_partial(t, text_col, id_col, n),
-        batch_format="pyarrow", batch_size=8192)
-    refs = []
-    for bundle in occ.iter_internal_ref_bundles():
-        refs.extend(bundle.block_refs)
+    base = ds.select_columns([id_col, text_col])
+    base_refs = []
+    for bundle in base.iter_internal_ref_bundles():
+        base_refs.extend(bundle.block_refs)
+    if not base_refs:
+        return base.map_batches(
+            lambda t: _span_rebuild(t, text_col, id_col, n),
+            batch_format="pyarrow", batch_size=8192)
+    # occurrences computed from the SAME pinned blocks (one input scan)
+    occ_refs = [_span_occ_task.remote(text_col, id_col, n, r)
+                for r in base_refs]
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    P = num_partitions or max(2, min(32, cpus, 2 * len(refs)))
-    base = ds.select_columns([id_col, text_col])
-    if refs:
-        dup_occ = _exchange(refs, "h", P, _span_dup_occ, keep_first)
-        cov_refs = _exchange(dup_occ, "doc", P, _span_cov_lists, id_col)
-        cov_ds = rd.from_arrow_refs(cov_refs).repartition(P)
-        base = base.join(cov_ds, join_type="left_outer",
-                         num_partitions=P, on=(id_col,))
-    return base.map_batches(
-        lambda t: _span_rebuild(t, text_col, id_col, n),
-        batch_format="pyarrow", batch_size=8192)
+    P = num_partitions or max(2, min(32, cpus, 2 * len(base_refs)))
+    dup_occ = _exchange(occ_refs, "h", P, _span_dup_occ, keep_first)
+    cov_refs = _exchange(dup_occ, "doc", P, _span_cov_lists, id_col)
+    # co-partition the text by the SAME key hash and finalize per
+    # partition with raw tasks — a Dataset.join here spins hash-shuffle
+    # aggregator ACTORS (seconds per job, the CLAUDE.md tasks-beat-
+    # actors rule) for what is a one-pass lookup + rebuild
+    group = 8
+    splits = [
+        _exchange_split_task.options(num_returns=P).remote(
+            P, id_col, *base_refs[i : i + group])
+        for i in range(0, len(base_refs), group)
+    ]
+    out_refs = [
+        _span_finalize_part.remote(text_col, id_col, n, cov_refs[p],
+                                   *[s[p] for s in splits])
+        for p in range(P)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
+@ray.remote
+def _span_occ_task(text_col: str, id_col: str, n: int,
+                   t: pa.Table) -> pa.Table:
+    return _span_occ_partial(t, text_col, id_col, n)
+
+
+@ray.remote
+def _span_finalize_part(text_col: str, id_col: str, n: int,
+                        cov: pa.Table, *base_parts: pa.Table) -> pa.Table:
+    """One doc-hash partition: attach each doc's packed coverage (null
+    when the doc has no duplicated spans) and rebuild its text."""
+    t = pa.concat_tables(base_parts)
+    if t.num_rows == 0:
+        return _span_rebuild(t, text_col, id_col, n)
+    pos = pc.index_in(t[id_col], value_set=cov[id_col])
+    covcol = cov["__cov"].combine_chunks().take(pos)   # null idx → null
+    return _span_rebuild(t.append_column("__cov", covcol),
+                         text_col, id_col, n)
