@@ -235,7 +235,8 @@ def cmd_corpus(args) -> int:
                                           n=args.ngram)
     elif op == "span-dedup":
         out = CO.remove_duplicate_spans(ds, args.text_col, args.id_col,
-                                        n=args.ngram)
+                                        n=args.ngram,
+                                        keep_first=args.keep_first)
     elif op == "resample":
         out = CO.temperature_resample(ds, args.key_col, args.id_col,
                                       alpha=args.alpha)
@@ -315,6 +316,8 @@ def main(argv=None) -> int:
                                   "build-index", "dedup-vs-index",
                                   "quality-lr", "oov-rate"])
     c.add_argument("--input", required=True)
+    c.add_argument("--keep-first", action="store_true",
+                   help="span-dedup: spare each dup gram's earliest occurrence (Lee et al. keep-one-copy)")
     c.add_argument("--output", required=True)
     c.add_argument("--text-col", default="text")
     c.add_argument("--id-col", default="doc_id")
