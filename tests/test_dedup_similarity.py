@@ -472,3 +472,20 @@ def test_semdedup_domination_rule(ray_session):
                        n_clusters=1, threshold=0.9).to_pandas()
     # b dropped by a; c dropped by b even though b itself dropped
     assert sorted(kept["vec_id"]) == [0]
+
+
+def test_ids_np_matches_pylist():
+    """ids_np equals np.asarray(to_pylist()) for int64 (zero-copy path),
+    string (object path), and chunked inputs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dataquality_cli_ray.functions.arrays import ids_np
+
+    ints = pa.chunked_array([pa.array([3, 1, 2], type=pa.int64()),
+                             pa.array([9, 8], type=pa.int64())])
+    assert np.array_equal(ids_np(ints), np.asarray(ints.to_pylist()))
+    strs = pa.array(["b", "a", "c"])
+    got = ids_np(strs)
+    assert got.dtype == object
+    assert np.array_equal(got, np.asarray(strs.to_pylist()))
