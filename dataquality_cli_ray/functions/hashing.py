@@ -212,18 +212,6 @@ def dedupe_per_doc(
     return h, new_offsets
 
 
-def word_shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Distinct hashes of word k-grams (uint64)."""
-    words = text.lower().split()
-    if len(words) < k:
-        grams = [" ".join(words)] if words else [""]
-    else:
-        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    return np.unique(
-        np.array([stable_hash64(g) for g in grams], dtype=np.uint64)
-    )
-
-
 class MinHasher:
     """num_perm-wise MinHash over uint64 shingle hash sets.
 

@@ -146,14 +146,6 @@ def tokens_python(text: str) -> list[str]:
     return _TOKEN_RE.findall(text)
 
 
-def char_ngrams(text: str, n: int = 3) -> list[str]:
-    """Char n-grams of a padded string (model building; not a hot path)."""
-    padded = f" {text.lower()} "
-    if len(padded) < n:
-        return [padded]
-    return [padded[i : i + n] for i in range(len(padded) - n + 1)]
-
-
 def ngram_hash_rows(
     texts, n: int, dim: int, seed: int = 0
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -895,14 +895,20 @@ def pipeline_metrics(executed_ds: "rd.Dataset") -> dict:
 
     stats = executed_ds.stats()
     out: dict[str, dict] = {}
+    mult = {"s": 1.0, "ms": 1e-3, "us": 1e-6}
+
+    def total(block, label):
+        m = re.search(label + r": .*?, ([0-9.]+)(ms|s|us) total", block)
+        return float(m.group(1)) * mult[m.group(2)] if m else None
+
     for block in stats.split("Operator ")[1:]:
         header = block.split("\n", 1)[0]
         name = header.split(":", 1)[0].strip()
-        m_wall = re.search(r"Remote wall time: .*?, ([0-9.]+)(ms|s|us) total", block)
-        m_rows = re.search(r"Output num rows per block: .*?, ([0-9]+) total", block)
-        mult = {"s": 1.0, "ms": 1e-3, "us": 1e-6}
+        m_rows = re.search(r"Output num rows per block: .*?, ([0-9]+) total",
+                           block)
         out[name] = {
-            "wall_s": float(m_wall.group(1)) * mult[m_wall.group(2)] if m_wall else None,
+            "wall_s": total(block, "Remote wall time"),
+            "cpu_s": total(block, "Remote cpu time"),
             "rows_out": int(m_rows.group(1)) if m_rows else None,
         }
     return out

@@ -47,13 +47,6 @@ def train_char_lm(texts, dim: int = 1 << 18, order: int = 3) -> dict:
     return {"tri": tri, "bi": bi, "dim": dim, "order": order, "k": 0.1, "vocab": 64.0}
 
 
-def merge_char_lm(models: list[dict]) -> dict:
-    out = dict(models[0])
-    out["tri"] = sum(m["tri"] for m in models)
-    out["bi"] = sum(m["bi"] for m in models)
-    return out
-
-
 def score_texts_batch(model: dict, texts) -> np.ndarray:
     """Bits/char for a whole batch in one pass: the tri/bi-gram hashes
     roll over the Arrow UTF-8 data buffer of the "  t "-padded batch

@@ -127,3 +127,30 @@ def test_dup_loser_modes_identical(ray_session, images_path):
     raw = rd.read_parquet(images_path, columns=["phash", "image_id"])
     assert dup_losers_from_refs(raw.materialize().to_arrow_refs(),
                                 "phash", "image_id") == ref
+
+
+def test_pipeline_metrics_from_stats(ray_session, images_path, models):
+    """pipeline_metrics parses Ray Data's executed stats into per-stage
+    {wall_s, cpu_s, rows_out} (the north rule's per-stage throughput
+    metrics) — operators present, flagship row count at the sink."""
+    from dataquality_cli_ray.pipelines.quality import (
+        images_quality_pipeline, pipeline_metrics)
+    from dataquality_cli_ray.stages.rules import QualityConfig
+
+    out = images_quality_pipeline(images_path, QualityConfig(),
+                                  langid_model=models[0],
+                                  ppl_model=models[1],
+                                  model_concurrency=1)
+    n = 0                                # consume THIS plan (count()
+    for b in out.iter_batches(batch_format="pyarrow"):   # runs a new one)
+        n += b.num_rows
+    m = pipeline_metrics(out)
+    assert m, "no operators parsed from stats"
+    measured = {op: r for op, r in m.items()
+                if r["wall_s"] is not None and r["rows_out"] is not None}
+    assert measured, f"no measured operators in {m}"
+    for op, row in measured.items():
+        assert set(row) >= {"wall_s", "cpu_s", "rows_out"}, (op, row)
+        assert row["wall_s"] >= 0 and row["rows_out"] >= 0
+    # the terminal operator emitted every surviving row
+    assert max(r["rows_out"] for r in measured.values()) >= n > 0

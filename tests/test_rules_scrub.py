@@ -122,3 +122,18 @@ def test_scrub_matches_duckdb():
 
 def test_pattern_count():
     assert len(SCRUB_PATTERNS) == 6
+
+
+def test_token_count_bpe_matches_scalar_twin():
+    """The batched RE2 token counter equals the per-string Python
+    regex twin (tokens_python) on edge inputs."""
+    import pyarrow as pa
+
+    from dataquality_cli_ray.functions.text import (
+        token_count_bpe, tokens_python)
+
+    texts = ["hello, world!", "", "  ", "a-b_c 12.5x", "日本語 words",
+             "don't stop", "x" * 500]
+    got = token_count_bpe(pa.array(texts)).to_pylist()
+    want = [len(tokens_python(t)) for t in texts]
+    assert got == want
