@@ -233,18 +233,36 @@ def _dup_winner_task(keys_ref, key_col: str, id_col: str,
     return g.rename_columns([key_col, "winner"])
 
 
-@ray.remote
-def _dup_winner_merge(key_col: str, *parts: pa.Table) -> dict:
-    t = pa.concat_tables(parts)
+def _empty_lookup() -> tuple:
+    return (np.empty(0, dtype=np.int64), pa.array([], type=pa.string()))
+
+
+def _winner_merge_local(t: pa.Table, key_col: str,
+                        winner_col: str = "winner") -> tuple:
+    """(key, winner) rows → the VECTOR loser map: (sorted int64 keys,
+    aligned Arrow winner strings). This tuple is the canonical dup-map
+    format end to end — it pickles near-zero-copy (numpy + Arrow
+    buffers), unlike the 100k+-entry Python dict it replaced, whose
+    build/pickle/unpickle/re-vectorize round-trip was ~0.7 s of
+    width-independent serial time per job (BASELINE.md F term)."""
     if t.num_rows == 0:
-        return {}
-    g = t.group_by(key_col).aggregate([("winner", "min")])
-    return dict(zip(g[key_col].to_pylist(), g["winner_min"].to_pylist()))
+        return _empty_lookup()
+    g = t.group_by(key_col).aggregate([(winner_col, "min")])
+    keys = g[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(keys)
+    winners = g[f"{winner_col}_min"].combine_chunks() \
+        .take(pa.array(order))
+    return keys[order], winners
+
+
+@ray.remote
+def _dup_winner_merge(key_col: str, *parts: pa.Table) -> tuple:
+    return _winner_merge_local(pa.concat_tables(parts), key_col)
 
 
 def dup_losers_from_refs(refs: list, key_col: str = "phash",
                          id_col: str = "image_id",
-                         P: int = DUP_PARTITIONS) -> dict[int, str]:
+                         P: int = DUP_PARTITIONS) -> tuple:
     """The two-round partitioned dup reduce fed DIRECTLY by block
     ObjectRefs — no Ray Data plan at all. Single-scan mode uses this
     over its already-materialized label blocks: the per-block combine
@@ -255,7 +273,7 @@ def dup_losers_from_refs(refs: list, key_col: str = "phash",
     test_dup_loser_modes_identical)."""
     P = max(2, P)
     if not refs:
-        return {}
+        return _empty_lookup()
     # group size adapts to cluster width: a fixed group of 8 left only
     # len(refs)/8 split tasks — an 8-way ceiling on a 32-CPU leg that
     # turned the whole round-1 exchange into width-independent overhead
@@ -275,7 +293,7 @@ def dup_losers_from_refs(refs: list, key_col: str = "phash",
     dup_keys = np.sort(np.concatenate(key_parts)) if key_parts else \
         np.empty(0, dtype=np.int64)
     if len(dup_keys) == 0:
-        return {}
+        return _empty_lookup()
     keys_ref = ray.put(dup_keys)
     winner_parts = [
         _dup_winner_task.remote(keys_ref, key_col, id_col,
@@ -325,8 +343,10 @@ def _executed_block_refs(ds: "rd.Dataset") -> list:
 
 
 def phash_dup_losers(proj_ds: "rd.Dataset", mode: str = "auto",
-                     approx_rows: int | None = None) -> dict[int, str]:
-    """phash → winning image_id for every phash with count > 1.
+                     approx_rows: int | None = None) -> tuple:
+    """The dup-loser map — (sorted int64 phash keys, aligned winner
+    image_id Arrow strings) for every phash with count > 1 (the vector
+    form; see :func:`_winner_merge_local`).
 
     proj_ds must contain exactly (phash, image_id) — the caller does a
     column-pruned read so bytes never flow through this aggregation.
@@ -361,11 +381,11 @@ def phash_dup_losers(proj_ds: "rd.Dataset", mode: str = "auto",
             Sum("cnt", alias_name="cnt"),
         )
         dup = agg.filter(expr="cnt > 1")
-        out: dict[int, str] = {}
-        for b in dup.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            for ph, w in zip(b["phash"].to_pylist(), b["winner"].to_pylist()):
-                out[ph] = w
-        return out
+        parts = list(dup.iter_batches(batch_size=65536,
+                                      batch_format="pyarrow"))
+        if not parts:
+            return _empty_lookup()
+        return _winner_merge_local(pa.concat_tables(parts), "phash")
     import pandas as pd
 
     # driver merge in two int-dominated phases — shipping the STRING
@@ -387,13 +407,13 @@ def phash_dup_losers(proj_ds: "rd.Dataset", mode: str = "auto",
         ph_l.append(b["phash"].to_numpy(zero_copy_only=False))
         c_l.append(b["cnt"].to_numpy(zero_copy_only=False))
     if not ph_l:
-        return {}
+        return _empty_lookup()
     ph = np.concatenate(ph_l)
     cnt = np.concatenate(c_l)
     totals = pd.Series(cnt).groupby(pd.Series(ph), sort=False).sum()
     dup_keys = totals.index.to_numpy()[totals.to_numpy() > 1]
     if len(dup_keys) == 0:
-        return {}
+        return _empty_lookup()
     dup_sorted = np.sort(dup_keys)
     keys_ref = ray.put(dup_sorted)
 
@@ -403,22 +423,35 @@ def phash_dup_losers(proj_ds: "rd.Dataset", mode: str = "auto",
         idx = np.clip(np.searchsorted(keys, kk), 0, len(keys) - 1)
         return t.filter(pa.array(keys[idx] == kk))
 
-    out: dict[int, str] = {}
     dup_rows = combined.select_columns(["phash", "winner"]).map_batches(
         only_dups, batch_format="pyarrow", batch_size=262144)
-    for b in dup_rows.iter_batches(batch_size=262144,
-                                   batch_format="pyarrow"):
-        for k, w in zip(b["phash"].to_pylist(), b["winner"].to_pylist()):
-            prev = out.get(k)
-            if prev is None or w < prev:
-                out[k] = w
-    return out
+    parts = list(dup_rows.iter_batches(batch_size=262144,
+                                       batch_format="pyarrow"))
+    if not parts:
+        return _empty_lookup()
+    return _winner_merge_local(pa.concat_tables(parts), "phash")
+
+
+def _staged_prepass(input_path: str, cfg, nrows, nfiles) -> tuple:
+    """The staged dup pre-pass: pruned packed Dataset scan + the
+    auto-mode reduce. (A raw-pyarrow-task variant that skipped the Ray
+    Data plan was benchmarked at 25.6 M rows and saved nothing — the
+    cost is the two-column read itself, not the executor ramp — so the
+    single Dataset path stays.)"""
+    from ..sources.readers import read_table
+
+    nb = max(2 * _ray_cpus(), 1)
+    if nfiles:
+        nb = min(nb, nfiles)
+    proj = read_table(input_path, columns=[cfg.dedup_key, cfg.id_col],
+                      override_num_blocks=nb)
+    return phash_dup_losers(proj, mode="auto", approx_rows=nrows)
 
 
 @ray.remote(num_cpus=0)
 def _dup_prepass_task(input_path: str, key_col: str, id_col: str,
                       approx_rows: int | None,
-                      n_files: int | None = None) -> dict:
+                      n_files: int | None = None) -> tuple:
     """The dedup aggregation as a detached task so it streams
     CONCURRENTLY with the main scan (num_cpus=0: the inner Ray Data job
     schedules its own tasks; this shell only drives it).
@@ -439,13 +472,16 @@ def _dup_prepass_task(input_path: str, key_col: str, id_col: str,
     return phash_dup_losers(proj, mode="auto", approx_rows=approx_rows)
 
 
-def _dup_lookup(dup_map: dict) -> tuple[np.ndarray, "pa.Array"]:
-    """dict → (sorted int64 keys, aligned winner Arrow string array)
-    for vectorized searchsorted marking. Winners are converted to
-    Arrow ONCE here, not per batch."""
+def _dup_lookup(dup_map) -> tuple[np.ndarray, "pa.Array"]:
+    """Normalize a dup map to (sorted int64 keys, aligned winner Arrow
+    strings). The canonical producer format IS that tuple
+    (:func:`_winner_merge_local` — numpy + Arrow, near-zero-copy
+    pickle); a plain dict (external callers, tests) is converted
+    here once, not per batch."""
+    if isinstance(dup_map, tuple):
+        return dup_map
     if not dup_map:
-        return (np.empty(0, dtype=np.int64),
-                pa.array([], type=pa.string()))
+        return _empty_lookup()
     keys = np.fromiter(dup_map.keys(), dtype=np.int64, count=len(dup_map))
     order = np.argsort(keys)
     winners = pa.array(
@@ -871,14 +907,7 @@ def images_quality_pipeline(
             # shell task added 1-2 s (task launch + a second in-worker
             # footer prefetch) that the staged mode, which blocks on the
             # result anyway, has no reason to pay
-            nb = max(2 * _ray_cpus(), 1)
-            if nfiles:
-                nb = min(nb, nfiles)
-            proj = read_table(input_path,
-                              columns=[cfg.dedup_key, cfg.id_col],
-                              override_num_blocks=nb)
-            dup_map = phash_dup_losers(proj, mode="auto",
-                                       approx_rows=nrows)
+            dup_map = _staged_prepass(input_path, cfg, nrows, nfiles)
         else:
             dup_ref = _dup_prepass_task.remote(input_path, cfg.dedup_key,
                                                cfg.id_col, nrows, nfiles)

@@ -113,7 +113,8 @@ def test_dup_loser_modes_identical(ray_session, images_path):
 
     def run(mode):
         proj = rd.read_parquet(images_path, columns=["phash", "image_id"])
-        return phash_dup_losers(proj, mode=mode)
+        keys, winners = phash_dup_losers(proj, mode=mode)
+        return dict(zip(keys.tolist(), winners.to_pylist()))
 
     ref = run("driver")
     assert len(ref) > 0          # fixture has a hot phash bucket
@@ -125,8 +126,9 @@ def test_dup_loser_modes_identical(ray_session, images_path):
     from dataquality_cli_ray.pipelines.quality import dup_losers_from_refs
 
     raw = rd.read_parquet(images_path, columns=["phash", "image_id"])
-    assert dup_losers_from_refs(raw.materialize().to_arrow_refs(),
-                                "phash", "image_id") == ref
+    k2, w2 = dup_losers_from_refs(raw.materialize().to_arrow_refs(),
+                                  "phash", "image_id")
+    assert dict(zip(k2.tolist(), w2.to_pylist())) == ref
 
 
 def test_pipeline_metrics_from_stats(ray_session, images_path, models):
