@@ -90,7 +90,7 @@ def main():
             proj_holder["proj"], mode="auto", approx_rows=nrows)
 
     timed("dup_decision", _decision)
-    print(f"  dup keys: {len(dup_holder['map'])}", file=sys.stderr)
+    print(f"  dup keys: {len(dup_holder['map'][0])}", file=sys.stderr)
 
     def _main_scan():
         ds = read_parquet_fast(path)
