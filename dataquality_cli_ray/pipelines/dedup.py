@@ -178,6 +178,19 @@ def _exchange_split_task(P: int, key_col: str, *tables: pa.Table) -> list[pa.Tab
             for i in range(P)]
 
 
+def _executed_block_refs(ds: "rd.Dataset") -> list:
+    """Execute a Dataset and return its block ObjectRefs WITHOUT
+    ``to_arrow_refs()``: that helper calls ``schema(fetch_if_missing)``
+    AFTER draining the plan, which re-executes a ``limit=1`` slice of
+    the whole chain (~0.7 s of pure serial overhead per call on a lazy
+    plan). Blocks here are always Arrow (pyarrow batch format)."""
+    try:
+        bundles = ds.iter_internal_ref_bundles()
+        return [ref for b in bundles for ref in b.block_refs]
+    except AttributeError:                      # Ray internals moved
+        return ds.to_arrow_refs()
+
+
 def _exchange(refs, key_col: str, P: int, merge_task, *merge_args) -> list:
     """blocks → split by hash(key) → one merge task per partition.
     Returns the merge tasks' ObjectRefs (one per partition)."""
@@ -242,7 +255,7 @@ def _bucket_pair_exchange(exploded: "rd.Dataset", key_col: str,
     """Run the full explode → bucket-pairs → pair-dedup reduction; see
     the block comment above. ``partition_merge`` is the per-partition
     remote task producing a (id_a, id_b, val_col) pair table."""
-    refs = exploded.to_arrow_refs()
+    refs = _executed_block_refs(exploded)
     if not refs:
         id_type = exploded.schema().field("doc_id").type
         val_type = pa.float64() if how == "max" else pa.int64()
@@ -251,10 +264,13 @@ def _bucket_pair_exchange(exploded: "rd.Dataset", key_col: str,
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    P = max(2, min(32, cpus))
+    # partition count tracks the exploded block count (the
+    # cap_per_key_dataset heuristic): a 1-2 block sf0.1 input through
+    # 32 merge tasks is pure task latency; wide inputs still fan out
+    P = max(2, min(32, cpus, 4 * len(refs)))
     pair_refs = _exchange(refs, key_col, P, partition_merge, *merge_args)
     # pairs ≪ exploded rows: a narrower second exchange is plenty
-    P2 = max(2, min(8, cpus))
+    P2 = max(2, min(8, cpus, P))
     deduped = _exchange(pair_refs, "id_a", P2, _pair_dedup_task, val_col, how)
     return rd.from_arrow_refs(deduped)
 
@@ -424,7 +440,8 @@ def dup_clusters(pairs: "rd.Dataset | pa.Table", id_a: str = "id_a",
         refs = None
         npairs = pairs.num_rows
     else:
-        refs = pairs.select_columns([id_a, id_b]).to_arrow_refs()
+        refs = _executed_block_refs(
+            pairs.select_columns([id_a, id_b]))
         pairs_tbl = None
         npairs = sum(ray.get([_cc_nrows.remote(r) for r in refs]))
     if mode == "auto":
@@ -983,7 +1000,7 @@ def embedding_dup_pairs_lsh(
     keyed = ds.select_columns([id_col, vec_col]).map_batches(
         add_key, batch_format="pyarrow", batch_size=4096,
     )
-    refs = keyed.to_arrow_refs()
+    refs = _executed_block_refs(keyed)
     if not refs:
         return rd.from_arrow(
             _pairs_to_table([], pa.string(), "cosine", pa.float64()))

@@ -329,17 +329,11 @@ def _dup_losers_partitioned(combined: "rd.Dataset",
 
 
 def _executed_block_refs(ds: "rd.Dataset") -> list:
-    """Execute a Dataset and return its block ObjectRefs WITHOUT
-    ``to_arrow_refs()``: that helper calls ``schema(fetch_if_missing)``
-    AFTER draining the plan, which re-executes a ``limit=1`` slice of
-    the whole read chain (~0.7 s of pure serial overhead per pipeline
-    at 25.6 M rows). Our blocks are always Arrow (pyarrow batch
-    format), so the refs are usable directly."""
-    try:
-        bundles = ds.iter_internal_ref_bundles()
-        return [ref for b in bundles for ref in b.block_refs]
-    except AttributeError:                      # Ray internals moved
-        return ds.to_arrow_refs()
+    """Shared with the dedup exchanges — see dedup._executed_block_refs
+    (avoids to_arrow_refs's ~0.7 s limit-1 schema re-execution)."""
+    from .dedup import _executed_block_refs as impl
+
+    return impl(ds)
 
 
 def phash_dup_losers(proj_ds: "rd.Dataset", mode: str = "auto",
