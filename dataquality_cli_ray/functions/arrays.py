@@ -18,6 +18,11 @@ def ids_np(col) -> np.ndarray:
     faster per batch); strings come back as an object array built at C
     level, same layout ``np.asarray(to_pylist())`` would produce."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count:
+        # to_numpy would silently promote a nullable int64 id column to
+        # float64-with-NaN (ids become 5.0-style floats in pair tables);
+        # ids are expected non-null everywhere this helper is used.
+        raise ValueError("ids_np: null values in id column")
     return arr.to_numpy(zero_copy_only=False)
 
 

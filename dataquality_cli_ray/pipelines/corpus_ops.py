@@ -178,16 +178,25 @@ def cap_per_key(
     )
     refs = []
     for bundle in parts.iter_internal_ref_bundles():
-        refs.extend(bundle.block_refs)
+        # skip known-empty blocks: Ray never calls the map fn on an
+        # empty block, so it rides through SCHEMA-LESS and breaks any
+        # select/concat downstream
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
     while len(refs) > 1:
         refs = [
             _cap_combine.remote(key_col, id_col, k, caps_ref,
                                 *refs[i:i + combine_group])
             for i in range(0, len(refs), combine_group)
         ]
-    out = ray.get(refs[0]) if refs else pa.table(
-        {key_col: pa.array([], type=pa.string()),
-         id_col: pa.array([], type=pa.int64())})
+    if refs:
+        out = ray.get(refs[0])
+    else:  # empty input: derive types from the schema, don't hardcode
+        sch = ds.schema().base_schema
+        out = pa.table(
+            {key_col: pa.array([], type=sch.field(key_col).type),
+             id_col: pa.array([], type=sch.field(id_col).type)})
     if isinstance(out, (pa.RecordBatch,)):
         out = pa.Table.from_batches([out])
     return _cap_partial(out, key_col, id_col, k, caps)
@@ -215,11 +224,17 @@ def cap_per_key_dataset(
     )
     refs = []
     for bundle in parts.iter_internal_ref_bundles():
-        refs.extend(bundle.block_refs)
+        for ref, meta in bundle.blocks:  # skip schema-less empty blocks
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
     if not refs:
+        # Derive the empty result's types from the input schema so an
+        # int key / string id round-trips (hardcoded string/int64 broke
+        # downstream concat / semi_join_filter on empty inputs).
+        sch = ds.schema().base_schema
         return rd.from_arrow(pa.table(
-            {key_col: pa.array([], type=pa.string()),
-             id_col: pa.array([], type=pa.int64())}))
+            {key_col: pa.array([], type=sch.field(key_col).type),
+             id_col: pa.array([], type=sch.field(id_col).type)}))
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
@@ -1053,7 +1068,10 @@ def _span_cov_lists(id_col: str, *parts: pa.Table) -> pa.Table:
     BINARY column (Acero's hash join can't carry list<> payloads)."""
     t = pa.concat_tables(parts)
     if t.num_rows == 0:
-        return pa.table({id_col: pa.array([], type=pa.int64()),
+        # Schema must match the populated path for ANY id type (string
+        # ids included) — a hardcoded int64 here makes the downstream
+        # pc.index_in raise whenever a partition has no dup coverage.
+        return pa.table({id_col: pa.array([], type=t.schema.field("doc").type),
                          "__cov": pa.array([], type=pa.binary())})
     doc = t["doc"].to_numpy(zero_copy_only=False)
     pos = t["pos"].to_numpy(zero_copy_only=False)

@@ -1070,10 +1070,17 @@ def _index_write_part(p: int, out_dir: str, id_col: str,
     from ..functions.bloom import bloom_build, bloom_params
 
     t = pa.concat_tables(parts)
+    d = os.path.join(out_dir, f"part={p}")
+    # Drop any pre-existing sidecar BEFORE touching data.parquet: a Bloom
+    # filter describing an older hash set gives false "definitely absent"
+    # answers (silently kept duplicates) if this rebuild disables the
+    # sidecar or crashes between the two os.replace calls below.
+    bpath = os.path.join(d, "bloom.npz")
+    if os.path.exists(bpath):
+        os.remove(bpath)
     if t.num_rows == 0:
         return 0
     out = _min_per_hash(t, id_col).rename_columns(["text_hash", "winner"])
-    d = os.path.join(out_dir, f"part={p}")
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, ".data.parquet.tmp")
     pq.write_table(out, tmp)

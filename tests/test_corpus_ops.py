@@ -619,3 +619,58 @@ FROM j GROUP BY doc_id ORDER BY doc_id""").df()
               .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert (got["n_removed"] < alltoo["n_removed"]).any()
     assert (got["n_removed"] <= alltoo["n_removed"]).all()
+
+
+def test_remove_duplicate_spans_string_ids_no_dups(ray_session):
+    """String doc ids + a corpus with NO duplicate spans: every doc
+    partition hits _span_cov_lists's empty branch, whose schema must
+    match the populated path's id type (regression: hardcoded int64
+    made pc.index_in raise ArrowTypeError for string ids)."""
+    import ray.data as rd
+    from dataquality_cli_ray.pipelines.corpus_ops import (
+        remove_duplicate_spans)
+
+    docs = pa.table({
+        "doc_id": pa.array(["d-a", "d-b", "d-c"]),
+        "text": ["totally unique words nothing shared at all okay",
+                 "another fully distinct line of sample prose here",
+                 "third independent sentence with no overlap present"],
+    })
+    out = (remove_duplicate_spans(rd.from_arrow(docs), n=5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == ["d-a", "d-b", "d-c"]
+    assert out["clean_text"].tolist() == [t for t in docs["text"].to_pylist()]
+    assert out["n_removed"].tolist() == [0, 0, 0]
+    # and WITH a planted cross-doc dup, string ids still work end-to-end
+    docs2 = pa.table({
+        "doc_id": pa.array(["s1", "s2"]),
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "prefix words the quick brown fox jumps suffix"],
+    })
+    out2 = (remove_duplicate_spans(rd.from_arrow(docs2), n=5)
+            .to_pandas().sort_values("doc_id").set_index("doc_id"))
+    assert out2.loc["s1", "clean_text"] == "over the lazy dog"
+    assert out2.loc["s2", "clean_text"] == "prefix words suffix"
+
+
+def test_cap_per_key_empty_input_preserves_schema(ray_session):
+    """Empty input: the result schema must derive from the input's
+    (int key, string id here), not a hardcoded (string, int64)."""
+    import ray.data as rd
+    from dataquality_cli_ray.pipelines.corpus_ops import (
+        cap_per_key, cap_per_key_dataset)
+
+    empty = pa.table({
+        "k": pa.array([], type=pa.int32()),
+        "i": pa.array([], type=pa.string()),
+    })
+    ds = rd.from_arrow(empty)
+    got = cap_per_key(ds, "k", "i", 2)
+    assert got.num_rows == 0
+    assert got.schema.field("k").type == pa.int32()
+    assert got.schema.field("i").type == pa.string()
+    got_ds = cap_per_key_dataset(ds, "k", "i", 2)
+    sch = got_ds.schema().base_schema
+    assert got_ds.count() == 0
+    assert sch.field("k").type == pa.int32()
+    assert sch.field("i").type == pa.string()

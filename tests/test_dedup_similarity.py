@@ -489,3 +489,52 @@ def test_ids_np_matches_pylist():
     got = ids_np(strs)
     assert got.dtype == object
     assert np.array_equal(got, np.asarray(strs.to_pylist()))
+
+
+def test_index_rebuild_removes_stale_bloom(ray_session, tmp_path):
+    """Rebuilding an index in-place with bloom disabled must REMOVE the
+    old sidecar: a Bloom filter describing the previous hash set gives
+    false 'definitely absent' answers, so dedup_against_index would
+    silently keep real duplicates (regression, round-3 advice)."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dataquality_cli_ray.pipelines.dedup import (
+        build_dedup_index, dedup_against_index)
+
+    texts_v1 = [f"first corpus doc number {i}" for i in range(40)]
+    texts_v2 = [f"second corpus doc number {i}" for i in range(40)]
+    ids = list(range(40))
+    idx = str(tmp_path / "idx")
+    build_dedup_index(
+        rd.from_arrow(pa.table({"doc_id": ids, "text": texts_v1})),
+        "text", "doc_id", idx, n_partitions=4, bloom_fpr=0.01)
+    assert any(os.path.exists(os.path.join(idx, d, "bloom.npz"))
+               for d in os.listdir(idx) if d.startswith("part="))
+    # rebuild IN PLACE over different content, bloom disabled
+    build_dedup_index(
+        rd.from_arrow(pa.table({"doc_id": ids, "text": texts_v2})),
+        "text", "doc_id", idx, n_partitions=4, bloom_fpr=0)
+    assert not any(os.path.exists(os.path.join(idx, d, "bloom.npz"))
+                   for d in os.listdir(idx) if d.startswith("part="))
+    # docs present in the NEW index must be dropped as duplicates
+    new = rd.from_arrow(pa.table(
+        {"doc_id": [1000, 1001], "text": [texts_v2[3], "genuinely new"]}))
+    kept = dedup_against_index(new, idx, "text", "doc_id").to_pandas()
+    assert kept["doc_id"].tolist() == [1001]
+
+
+def test_ids_np_rejects_nulls():
+    """Nullable id columns must raise, not silently promote int64 ids
+    to float64-with-NaN (5.0-style ids in pair tables)."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from dataquality_cli_ray.functions.arrays import ids_np
+
+    with _pytest.raises(ValueError, match="null"):
+        ids_np(pa.array([1, None, 3], type=pa.int64()))
+    with _pytest.raises(ValueError, match="null"):
+        ids_np(pa.chunked_array([pa.array(["a", None])]))
