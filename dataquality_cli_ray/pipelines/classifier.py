@@ -9,8 +9,10 @@ streaming Ray Data passes:
 - features are cheap vectorized kernels over the Arrow UTF-8 buffer
   (token count, punctuation/stopword/digit fractions, mean word
   length) — no embedding, no Python strings;
-- training is full-batch gradient descent where EVERY iteration is one
-  ``map_batches`` pass emitting per-block gradient partials
+- the raw text is featurized EXACTLY ONCE: a single pass materializes
+  the compact (F+1)-float feature rows (~48 B/doc); full-batch
+  gradient descent then runs every iteration as one ``map_batches``
+  pass over the FEATURE dataset, emitting per-block gradient partials
   ``(X^T (sigmoid(Xw) - y), n)`` — a (F+1)-vector per block — reduced
   on the driver in block order (deterministic for a fixed plan, the
   same contract as ``similarity.ivf_centroids``);
@@ -89,15 +91,37 @@ def train_quality_lr(
 ) -> dict:
     """Distributed full-batch logistic regression.
 
-    Pass 0 computes feature mean/std partials (sum, sumsq, n) for
-    standardization; each of the ``iters`` gradient steps is one
-    streaming pass emitting per-block ``(grad, n)`` partials. Only
-    O(F) floats move per block per pass. Returns the model dict
-    (weights on STANDARDIZED features + the standardizer)."""
+    The raw text is read and featurized EXACTLY ONCE: one pass
+    materializes the compact (F+1)-float feature-plus-label rows
+    (~48 B/doc, orders of magnitude below the text it replaces); the
+    standardizer pass and every one of the ``iters`` gradient steps
+    then stream the compact feature dataset, emitting per-block
+    ``(grad, n)`` partials reduced on the driver in block order
+    (deterministic for a fixed plan, the same contract as
+    ``similarity.ivf_centroids``). Only O(F) floats move per block per
+    pass. Returns the model dict (weights on STANDARDIZED features +
+    the standardizer)."""
     F = len(FEATURE_NAMES)
+    feat_cols = [f"f{i}" for i in range(F)]
+
+    def feat_partial(batch: pa.Table) -> pa.Table:
+        X = doc_features(batch[text_col])
+        cols = {c: pa.array(X[:, i], type=pa.float64())
+                for i, c in enumerate(feat_cols)}
+        cols["y"] = batch[label_col].cast(pa.float64())
+        return pa.table(cols)
+
+    # the ONLY text-reading pass of the whole training loop
+    feats = ds.select_columns([text_col, label_col]).map_batches(
+        feat_partial, batch_format="pyarrow",
+        batch_size=8192).materialize()
+
+    def _xmat(batch: pa.Table) -> np.ndarray:
+        return np.column_stack([
+            batch[c].to_numpy(zero_copy_only=False) for c in feat_cols])
 
     def stat_partial(batch: pa.Table) -> pa.Table:
-        X = doc_features(batch[text_col])
+        X = _xmat(batch)
         return pa.table({
             "s": pa.array([X.sum(axis=0)]),
             "ss": pa.array([(X * X).sum(axis=0)]),
@@ -107,7 +131,7 @@ def train_quality_lr(
     s = np.zeros(F)
     ss = np.zeros(F)
     n = 0.0
-    for b in ds.select_columns([text_col]).map_batches(
+    for b in feats.map_batches(
             stat_partial, batch_format="pyarrow",
             batch_size=8192).iter_batches(batch_size=256,
                                           batch_format="pyarrow"):
@@ -123,17 +147,16 @@ def train_quality_lr(
 
         def grad_partial(batch: pa.Table) -> pa.Table:
             m = _cached_ref(wref)
-            X = (doc_features(batch[text_col]) - m["mu"]) / m["sd"]
+            X = (_xmat(batch) - m["mu"]) / m["sd"]
             Xb = np.column_stack([X, np.ones(len(X))])
-            y = batch[label_col].cast(pa.float64()).to_numpy(
-                zero_copy_only=False)
+            y = batch["y"].to_numpy(zero_copy_only=False)
             p = _sigmoid(Xb @ m["w"])
             return pa.table({"g": pa.array([Xb.T @ (p - y)]),
                              "n": pa.array([float(len(X))])})
 
         g = np.zeros(F + 1)
         gn = 0.0
-        for b in ds.select_columns([text_col, label_col]).map_batches(
+        for b in feats.map_batches(
                 grad_partial, batch_format="pyarrow",
                 batch_size=8192).iter_batches(batch_size=256,
                                               batch_format="pyarrow"):
@@ -200,7 +223,10 @@ def quality_lr_pipeline(
 
     labeled = ds.select_columns([id_col, text_col]).map_batches(
         label, batch_format="pyarrow", batch_size=8192)
+    # no raw-text materialize: train_quality_lr's featurize pass is the
+    # single execution of this plan, and what IT materializes is the
+    # compact feature rows, not the text
     train_ds = labeled.map_batches(train_half, batch_format="pyarrow",
-                                   batch_size=8192).materialize()
+                                   batch_size=8192)
     model = train_quality_lr(train_ds, text_col, "label", iters=iters)
     return score_quality_lr(ds, model, text_col, id_col)

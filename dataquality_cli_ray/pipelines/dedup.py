@@ -643,17 +643,20 @@ def verify_pairs_exact_jaccard(
     if mode == "join":
         return _verify_pairs_join(pairs, docs_ds, text_col, id_col,
                                   shingle_k, threshold)
-    # 1) distinct candidate ids from the (small) pairs dataset
-    cand_ids: set = set()
+    # 1) distinct candidate ids from the (small) pairs dataset — pure
+    # Arrow (pc.unique over the concatenated id chunks), no per-row
+    # Python objects on the candidate path
+    chunks: list = []
     for b in pairs.select_columns(["id_a", "id_b"]).iter_batches(
             batch_size=65536, batch_format="pyarrow"):
-        cand_ids.update(b["id_a"].to_pylist())
-        cand_ids.update(b["id_b"].to_pylist())
-    if not cand_ids:
+        chunks.append(b["id_a"].combine_chunks())
+        chunks.append(b["id_b"].combine_chunks())
+    id_set = (pc.unique(pa.chunked_array(chunks)) if chunks
+              else pa.array([]))
+    if len(id_set) == 0:
         return pairs.map_batches(
             lambda t: t.append_column("jaccard", pa.array([], type=pa.float64())),
             batch_format="pyarrow")
-    id_set = pa.array(sorted(cand_ids))
     # 2) filtered scan: fetch texts only for candidate ids
     texts: dict = {}
     filtered = docs_ds.select_columns([id_col, text_col]).map_batches(

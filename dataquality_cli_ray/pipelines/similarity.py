@@ -14,8 +14,8 @@ key. Approximate — recall vs brute force is asserted in tests.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -42,6 +42,73 @@ def _cached_ref(ref):
             _WORKER_CACHE.clear()
         _WORKER_CACHE[key] = v
     return v
+
+
+def _topk_prune(t: pa.Table, k: int, with_rank: bool = False) -> pa.Table:
+    """Keep the k best (score desc, vec_id asc) rows per query_id of a
+    candidate table — vectorized (sort_indices + run-length ranks), no
+    pandas. ``with_rank`` appends the 1-based rank column (final level
+    only)."""
+    if t.num_rows == 0:
+        return (t.append_column("rank", pa.array([], type=pa.int64()))
+                if with_rank else t)
+    idx = pc.sort_indices(t, sort_keys=[("query_id", "ascending"),
+                                        ("score", "descending"),
+                                        ("vec_id", "ascending")])
+    t = t.take(idx)
+    codes = t["query_id"].combine_chunks().dictionary_encode().indices \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    new = np.ones(len(codes), dtype=bool)
+    new[1:] = codes[1:] != codes[:-1]
+    starts = np.flatnonzero(new)
+    run = np.diff(np.append(starts, len(codes)))
+    rank = np.arange(len(codes), dtype=np.int64) - np.repeat(starts, run)
+    keep = rank < k
+    t = t.filter(pa.array(keep))
+    if with_rank:
+        t = t.append_column("rank", pa.array(rank[keep] + 1))
+    return t
+
+
+@ray.remote
+def _topk_combine(k: int, *parts: pa.Table) -> pa.Table:
+    return _topk_prune(pa.concat_tables(parts), k)
+
+
+def _finalize_topk(local: "rd.Dataset", k: int, empty: pa.Table,
+                   combine_group: int = 16) -> "rd.Dataset":
+    """Global per-query top-k from the per-block candidate tables.
+
+    Candidate volume is ≤ k × #blocks per query, so this is a tiny
+    reduction — a tree of Ray tasks each keeping ≤ k rows per query
+    (associative: local top-k of top-k's), ranked once at the root. No
+    sort exchange, no pandas conversion (replaces the old
+    ``groupby("query_id").map_groups(batch_format="pandas")``, which
+    paid a full sort shuffle for this)."""
+    refs = []
+    for bundle in local.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:  # skip schema-less empty blocks
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+    while len(refs) > 1:
+        refs = [_topk_combine.remote(k, *refs[i:i + combine_group])
+                for i in range(0, len(refs), combine_group)]
+    out = ray.get(refs[0]) if refs else empty
+    if isinstance(out, pa.RecordBatch):
+        out = pa.Table.from_batches([out])
+    return rd.from_arrow(_topk_prune(out, k, with_rank=True))
+
+
+def _empty_candidates(query_ids, ds: "rd.Dataset", id_col: str) -> pa.Table:
+    """Typed empty candidate table for the all-blocks-empty edge."""
+    qt = pa.array(np.asarray(query_ids)[:0]).type
+    sch = ds.schema()
+    vt = dict(zip(sch.names, sch.types))[id_col]
+    if not isinstance(vt, pa.DataType):  # pandas-block dataset: numpy dtype
+        vt = pa.from_numpy_dtype(vt)
+    return pa.table({"query_id": pa.array([], type=qt),
+                     "vec_id": pa.array([], type=vt),
+                     "score": pa.array([], type=pa.float64())})
 
 
 def brute_force_topk(
@@ -75,16 +142,10 @@ def brute_force_topk(
             "score": pa.array(np.asarray(out_s, dtype=np.float64)),
         })
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
     local = ds.select_columns([id_col, vec_col]).map_batches(
         local_topk, batch_format="pyarrow", batch_size=4096,
     )
-    return local.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return _finalize_topk(local, k, _empty_candidates(query_ids, ds, id_col))
 
 
 def lsh_topk(
@@ -136,16 +197,10 @@ def lsh_topk(
             "score": pa.array(np.asarray(out_s, dtype=np.float64)),
         })
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
     local = ds.select_columns([id_col, vec_col]).map_batches(
         bucket_topk, batch_format="pyarrow", batch_size=4096,
     )
-    return local.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return _finalize_topk(local, k, _empty_candidates(query_ids, ds, id_col))
 
 
 def _keys(m: np.ndarray, H: np.ndarray) -> np.ndarray:
@@ -162,19 +217,26 @@ def load_query_vectors(
 ) -> tuple[np.ndarray, list]:
     """First n_queries embeddings (by id) as the deterministic query set.
 
-    Reads the 8-byte id column in full, then only the row groups that
-    actually contain the n smallest ids — the wide embedding column is
-    never read for the rest of the table."""
+    Per-row-group min-k + tiny merge (the ``ivf_centroids`` init trick):
+    the id column is read one ROW GROUP at a time and reduced to its n
+    smallest ids immediately, so driver memory is O(row_groups × n +
+    one group's ids) — never the full id column; the wide embedding
+    column is then read only for the groups holding global winners."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    ids = pf.read(columns=[id_col])[id_col].to_numpy(zero_copy_only=False)
-    want_pos = np.sort(np.argsort(ids, kind="stable")[:n_queries])
-    # row-group spans → the set of groups holding wanted positions
-    spans = np.cumsum([pf.metadata.row_group(i).num_rows
-                       for i in range(pf.metadata.num_row_groups)])
-    groups = sorted(set(int(np.searchsorted(spans, p, side="right"))
-                        for p in want_pos))
+    best_ids, best_grp = [], []
+    for g in range(pf.metadata.num_row_groups):
+        ids_g = pf.read_row_group(g, columns=[id_col])[id_col].to_numpy(
+            zero_copy_only=False)
+        kk = min(n_queries, len(ids_g))
+        sel = np.sort(np.argsort(ids_g, kind="stable")[:kk])
+        best_ids.append(ids_g[sel])
+        best_grp.append(np.full(kk, g, dtype=np.int64))
+    ids = np.concatenate(best_ids)
+    grp = np.concatenate(best_grp)
+    win = np.argsort(ids, kind="stable")[:n_queries]
+    groups = sorted(set(grp[win].tolist()))
     t = pf.read_row_groups(groups, columns=[id_col, vec_col])
     df = t.to_pandas().sort_values(id_col).head(n_queries)
     return np.stack(df[vec_col].to_numpy()), df[id_col].tolist()
@@ -306,14 +368,7 @@ def ivf_topk(
             "score": pa.array(np.asarray(out_s, dtype=np.float64)),
         })
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
     local = ds.select_columns([id_col, vec_col]).map_batches(
         cell_topk, batch_format="pyarrow", batch_size=4096,
     )
-    return local.groupby("query_id").map_groups(final_topk,
-                                                batch_format="pandas")
+    return _finalize_topk(local, k, _empty_candidates(query_ids, ds, id_col))
