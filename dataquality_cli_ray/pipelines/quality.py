@@ -785,46 +785,59 @@ def _single_read_pipeline(
     ds: "rd.Dataset", cfg: QualityConfig, decode: bool,
     langid_model: dict | None = None, ppl_model: dict | None = None,
     select_output: bool = True, batch_size: int | None = None,
-    keep_bytes: bool = False,
+    keep_bytes: bool = False, spill_dir: str | None = None,
 ) -> "rd.Dataset":
     """ONE pass over the raw input: read → kernels fused into a single
     operator producing the compact label rows (~190 B/row — the image
-    payload never leaves the read task), MATERIALIZED; the dup decision
-    then runs over the materialized labels (no second scan of the raw
-    table — at 100 TB the pruned pre-pass read is the expensive part);
-    finally a cheap mark+finalize pass over the label blocks. Output is
-    row-identical to the staged mode (same combiner/decision).
+    payload never leaves the read task), streamed STRAIGHT TO PARQUET
+    (``spill_dir``, one file per label block); the dup decision then
+    runs over a pruned 2-column read of the label shards (no second
+    scan of the raw table — at 100 TB the pruned pre-pass read is the
+    expensive part); finally a cheap mark+finalize pass over the label
+    shards. Output is row-identical to the staged mode (same
+    combiner/decision, pinned by ``test_single_mode_matches_staged``).
+
+    Spilling the labels to parquet instead of ``materialize()`` removes
+    the old "labels must fit the object store" caveat: the write
+    streams with backpressure, nothing pins plasma across the dup
+    decision, and the label shards double as a resume point (re-running
+    the dup/mark phase never re-reads the raw table). ``spill_dir``
+    defaults to a fresh temp dir; pass a durable path to keep the label
+    shards as the checkpoint artifact.
 
     ``keep_bytes=True`` (pass-through sinks) carries the payload column
-    through the materialized label table — single mode then pays object
-    store for the full payload; staged mode is the better fit there."""
+    into the label shards — single mode then pays a disk round-trip for
+    the full payload; staged mode is the better fit there."""
+    import tempfile
+
     if langid_model is None or ppl_model is None:
         lm, pm = build_models()
         langid_model = langid_model or lm
         ppl_model = ppl_model or pm
     langid_ref = ray.put(langid_model)
     ppl_ref = ray.put(ppl_model)
-    labels = ds.map_batches(
+    if spill_dir is None:
+        spill_dir = tempfile.mkdtemp(prefix="dq_single_labels_")
+    ds.map_batches(
         _fused_task_fn,
         fn_kwargs={"cfg": cfg, "langid_ref": langid_ref,
                    "ppl_ref": ppl_ref, "decode": decode,
                    "keep_bytes": keep_bytes},
         batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
-    ).materialize()
-    nrows = labels.count()
-    if nrows > DUP_SHUFFLE_THRESHOLD_ROWS:
-        # feed the partitioned reduce the materialized label blocks
-        # directly: the per-block combine runs inside the split tasks,
-        # skipping a whole B-task Dataset combiner pass (B = one block
-        # per input file — large under the fused-read layout)
-        dup_map = dup_losers_from_refs(labels.to_arrow_refs(),
-                                       cfg.dedup_key, cfg.id_col)
-    else:
-        proj = labels.select_columns([cfg.dedup_key, cfg.id_col])
-        dup_map = phash_dup_losers(proj, mode="driver", approx_rows=nrows)
+    ).write_parquet(spill_dir)
+    from ..sources.readers import read_parquet_fast
+
+    nrows, nfiles = _parquet_rows(spill_dir)
+    nb = max(2 * _ray_cpus(), 1)
+    if nfiles:
+        nb = min(nb, nfiles)
+    proj = read_parquet_fast(spill_dir,
+                             columns=[cfg.dedup_key, cfg.id_col],
+                             override_num_blocks=nb)
+    dup_map = phash_dup_losers(proj, mode="auto", approx_rows=nrows)
     dup_ref = ray.put(dup_map)
-    return labels.map_batches(
+    return read_parquet_fast(spill_dir).map_batches(
         _mark_finalize_task_fn,
         fn_kwargs={"dup_ref": dup_ref,
                    "select_cols": _out_cols(cfg) if select_output else None},
@@ -845,11 +858,12 @@ def images_quality_pipeline(
 
     dedup_mode:
     - "single": ONE scan of the raw table — kernels run fused with the
-      read, compact labels materialize, and the dup decision + marking
-      run over the labels (no pruned pre-pass read at all). The best
-      mode when reading the input twice is expensive (remote storage /
-      100 TB) and when label rows ≪ input bytes. Requires the labels
-      to fit the object store (~2 % of input size; spills otherwise).
+      read, compact labels stream straight to parquet shards, and the
+      dup decision + marking run over the shards (no pruned pre-pass
+      read of the raw table at all). The best mode when reading the
+      input twice is expensive (remote storage / 100 TB) and when
+      label rows ≪ input bytes. No object-store footprint: the label
+      write backpressures, and the shards double as a resume point.
     - "staged" (default): the dedup aggregation runs FIRST at full
       cluster width (a few seconds — it scans only (phash, image_id));
       the main pass then gets the resolved loser map and Ray fuses
@@ -938,12 +952,26 @@ def pipeline_metrics(executed_ds: "rd.Dataset") -> dict:
 
 
 def lineage_summary(out_ds: "rd.Dataset") -> pa.Table:
-    """Per-rule drop counts + keep count (the A9-style rollup): tiny
-    groupby over the label column only."""
-    agg = (
-        out_ds.select_columns(["drop_reason"])
-        .groupby("drop_reason")
-        .count()
-    )
-    t = pa.Table.from_pandas(agg.to_pandas())
-    return t.rename_columns(["drop_reason", "n"])
+    """Per-rule drop counts + keep count (the A9-style rollup).
+
+    Each block reduces to ≤ |rules|+1 (reason, count) rows inside
+    ``map_batches`` (the same per-batch counters the mark stage's
+    manifests use), then a streaming driver merge sums the tiny
+    partials — no groupby sort-exchange over the full label dataset
+    for a ≤ 20-row result."""
+
+    def per_block(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(pc.fill_null(t["drop_reason"], "\x00KEEP")
+                             .combine_chunks())
+        return pa.table({"drop_reason": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    counts: dict = {}
+    partials = out_ds.select_columns(["drop_reason"]).map_batches(
+        per_block, batch_format="pyarrow")
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for v, n in zip(b["drop_reason"].to_pylist(), b["n"].to_pylist()):
+            counts[v] = counts.get(v, 0) + n
+    reasons = [None if k == "\x00KEEP" else k for k in counts]
+    return pa.table({"drop_reason": pa.array(reasons, type=pa.string()),
+                     "n": pa.array(list(counts.values()), type=pa.int64())})

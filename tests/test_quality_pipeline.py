@@ -105,6 +105,28 @@ def test_lineage_summary(ray_session, pipeline_and_golden):
     assert got == expected
 
 
+def test_single_mode_matches_staged(ray_session, images_path, models,
+                                    pipeline_and_golden, tmp_path):
+    """dedup_mode='single' (one raw scan, labels spilled to parquet
+    shards, no materialize in the plan) is row-identical to staged
+    mode, and the spill dir holds the label shards as a resume point."""
+    lm, pm = models
+    spill = str(tmp_path / "labels")
+    out = images_quality_pipeline(
+        images_path, QualityConfig(), dedup_mode="single",
+        langid_model=lm, ppl_model=pm, spill_dir=spill,
+    ).to_pandas().sort_values("image_id").reset_index(drop=True)
+    m = pipeline_and_golden
+    assert len(out) == len(m)
+    assert (out["keep"].to_numpy() == m["keep"].to_numpy()).all()
+    assert (out["drop_reason"].fillna("").to_numpy()
+            == m["drop_reason"].fillna("").to_numpy()).all()
+    assert (out["caption_scrubbed"].to_numpy()
+            == m["caption_scrubbed"].to_numpy()).all()
+    import glob
+    assert glob.glob(spill + "/*.parquet"), "label shards not written"
+
+
 def test_dup_loser_modes_identical(ray_session, images_path):
     """driver / partitioned / shuffle dup decisions are value-identical
     (partitioned is what mode='auto' selects at scale)."""
