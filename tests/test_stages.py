@@ -104,6 +104,41 @@ def test_decode_stage_meta_one_null_is_mismatch():
     assert out["rule_decode_error"].to_pylist() == [True, True, False]
 
 
+def test_pillow_decode_stage_golden_parity():
+    """Golden parity, fake codec vs Pillow (auto-skips without the
+    lib): the SAME pixel arrays encoded once as FIMG and once as real
+    lossless PNG must yield identical dec_w/dec_h/brightness/contrast/
+    ahash from DecodeImageStage — the Pillow fallback branch computes
+    the exact same integer-sum feature math as the batched kernels."""
+    from dataquality_cli_ray.functions import imagecodec as IC
+
+    if not IC.HAVE_PIL:
+        pytest.skip("Pillow not installed (sandbox)")
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(11)
+    arrs = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for h, w in [(8, 8), (16, 12), (8, 8), (5, 7)]]
+
+    def png_bytes(a):
+        buf = io.BytesIO()
+        Image.fromarray(a).save(buf, format="PNG")
+        return buf.getvalue()
+
+    meta = {"w": pa.array([a.shape[1] for a in arrs], type=pa.int32()),
+            "h": pa.array([a.shape[0] for a in arrs], type=pa.int32())}
+    fake = pa.table({"bytes": pa.array(
+        [IF.encode_image(a, "png") for a in arrs], type=pa.binary()), **meta})
+    real = pa.table({"bytes": pa.array(
+        [png_bytes(a) for a in arrs], type=pa.binary()), **meta})
+    of, orl = DecodeImageStage()(fake), DecodeImageStage()(real)
+    assert orl["rule_decode_error"].to_pylist() == [False] * len(arrs)
+    for c in ["dec_w", "dec_h", "brightness", "contrast", "ahash"]:
+        assert of[c].to_pylist() == orl[c].to_pylist(), c
+
+
 def test_resize_stage():
     good = IF.encode_image(_img(16, 16), "jpeg")
     batch = pa.table({"bytes": pa.array([good, b"bad"], type=pa.binary()),
