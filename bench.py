@@ -197,6 +197,16 @@ def run_benchmarks() -> dict:
                            columns=["doc_id", "text"]),
         "text", "doc_id", n=5).count())
 
+    def _line_dedup():
+        from dataquality_cli_ray.entrypoints import q_docs_line_dedup
+        return len(q_docs_line_dedup(SF_DIR))
+
+    timed("docs_line_dedup", _line_dedup)
+    timed("docs_dsir_select", lambda: CO.dsir_select(
+        read_parquet_small(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text", "lang"]),
+        hash_buckets=1 << 18).count())
+
     def _incr():
         import shutil
         import tempfile

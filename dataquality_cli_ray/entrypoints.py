@@ -1119,6 +1119,114 @@ SELECT doc_id,
 FROM j GROUP BY doc_id ORDER BY doc_id"""
 
 
+LINE_WORDS = 12          # derived-line width for docs_line_dedup
+DSIR_TOP_FRAC = 0.25     # selected fraction for docs_dsir_select
+
+
+def q_docs_line_dedup(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide exact LINE dedup, keep-first (public method: C4,
+    Raffel et al. 2020 §2.2 / RefinedWeb, Penedo et al. 2023 §3.3):
+    every exactly-duplicated line keeps only its earliest (doc_id,
+    line-index) occurrence. The fixture text has no newlines, so the
+    query derives a lined corpus first (groups of LINE_WORDS words per
+    line — derivation mirrored exactly in the SQL oracle);
+    corpus_ops.dedup_lines then runs the real operator: two
+    hash-partitioned exchanges (line-hash → keep-first decision,
+    doc → packed dropped positions) + co-partitioned vectorized
+    rebuild, content on the wire only as 64-bit hashes."""
+    from .pipelines import corpus_ops as CO
+
+    docs = read_parquet_small(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+
+    def lineify(t):
+        # input derivation (not the operator): regroup each doc's words
+        # into LINE_WORDS-word lines joined by newlines
+        import pyarrow as pa
+
+        out = []
+        for x in t["text"].to_pylist():
+            ws = (x or "").split(" ")
+            out.append("\n".join(
+                " ".join(ws[i:i + LINE_WORDS])
+                for i in range(0, len(ws), LINE_WORDS)))
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(out, type=pa.string())})
+
+    lined = docs.map_batches(lineify, batch_format="pyarrow",
+                             batch_size=8192)
+    df = CO.dedup_lines(lined, min_chars=1).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_docs_line_dedup() -> str:
+    """TRUE string-level oracle: lines grouped by exact content,
+    row_number over (doc_id, line index) picks the kept occurrence
+    (the Ray side groups 64-bit content hashes — the repo-wide exact-
+    dedup convention; collision odds 2^-64 per unequal pair)."""
+    return f"""WITH l0 AS (
+  SELECT doc_id, unnest(string_split(coalesce(text,''), ' ')) AS w,
+         generate_subscripts(string_split(coalesce(text,''), ' '), 1) AS i
+  FROM documents),
+lines AS (
+  SELECT doc_id, (i-1)//{LINE_WORDS} AS li,
+         string_agg(w, ' ' ORDER BY i) AS ln
+  FROM l0 GROUP BY doc_id, (i-1)//{LINE_WORDS}),
+ranked AS (
+  SELECT doc_id, li, ln,
+         CASE WHEN length(ln) >= 1
+              THEN row_number() OVER (PARTITION BY ln ORDER BY doc_id, li)
+              ELSE 1 END AS rn
+  FROM lines)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rn=1 THEN ln END, chr(10)
+                           ORDER BY li), '') AS clean_text,
+       count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN rn>1 THEN 1 ELSE 0 END)::BIGINT AS n_removed
+FROM ranked GROUP BY doc_id ORDER BY doc_id"""
+
+
+def q_docs_dsir_select(sf_dir: str) -> pd.DataFrame:
+    """DSIR importance selection (Xie et al. 2023, arXiv:2302.03169):
+    per-doc importance score = Σ_tokens ln p_target(w) − ln p_raw(w)
+    under add-one-smoothed word-unigram models (target = lang='en'
+    rows), deterministic top-25% selection on the 6-dp-rounded score
+    (ties at the cutoff all selected). corpus_ops.dsir_select — two
+    streaming scans + one broadcast model; the driver run uses the
+    exact-word model (true SQL oracle); hash_buckets engages DSIR's
+    hashed-feature trick for unbounded vocabularies (pytest pins the
+    hashed selection against exact on the fixture)."""
+    from .pipelines import corpus_ops as CO
+
+    docs = read_parquet_small(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "lang"])
+    df = CO.dsir_select(docs, top_frac=DSIR_TOP_FRAC).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_docs_dsir_select() -> str:
+    score = ("sum(ln(coalesce(tg.c,0)+1) - ln(k.t+k.v) "
+             "- ln(rw.c+1) + ln(k.r+k.v))")
+    return f"""WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(coalesce(text,''),' ')) AS w
+  FROM documents),
+raw AS (SELECT w, count(*)::DOUBLE c FROM toks GROUP BY w),
+tgt AS (SELECT w, count(*)::DOUBLE c FROM toks WHERE lang='en' GROUP BY w),
+consts AS (SELECT (SELECT sum(c) FROM tgt) t, (SELECT sum(c) FROM raw) r,
+                  (SELECT count(*)::DOUBLE FROM raw) v),
+scores AS (SELECT toks.doc_id, {sql_round(score, 6)} AS dsir_score
+  FROM toks JOIN raw rw USING(w) LEFT JOIN tgt tg USING(w)
+  CROSS JOIN consts k
+  GROUP BY toks.doc_id),
+ranked AS (SELECT doc_id, dsir_score,
+  row_number() OVER (ORDER BY dsir_score DESC, doc_id) rn,
+  count(*) OVER () n FROM scores)
+SELECT doc_id, dsir_score,
+  dsir_score >= (SELECT min(dsir_score) FROM ranked
+                 WHERE rn <= ceil({DSIR_TOP_FRAC}*n)) AS selected
+FROM ranked ORDER BY doc_id"""
+
+
 def sql_docs_ngram_jaccard(threshold: float = 0.5) -> str:
     """TRUE exact-Jaccard self-join over the char-5-gram shingle sets
     (lowercased, pad-to-5 for short texts — the exact semantics of
@@ -1710,7 +1818,9 @@ def build_queries() -> dict:
         "docs_incremental_dedup": q_docs_incremental_dedup,
         "docs_shared_spans": q_docs_shared_spans,
         "docs_span_dedup": q_docs_span_dedup,
+        "docs_line_dedup": q_docs_line_dedup,
         # corpus ops (training-data scale operators)
+        "docs_dsir_select": q_docs_dsir_select,
         "docs_decontaminate": q_docs_decontaminate,
         "docs_source_cap": q_docs_source_cap,
         "docs_repetition": q_docs_repetition,
@@ -1724,8 +1834,6 @@ def build_queries() -> dict:
         "docs_scrubbed": q_docs_scrubbed,
         # profiler (reference describe semantics, A1-A9)
         "describe_lineitem_numeric": q_describe_lineitem_numeric,
-        "describe_customer_strings": q_describe_customer_strings,
-        "null_rate_orders": q_null_rate_orders,
         "rollup_quality": q_rollup_quality,
         # relational / wide ops
         "q1_pricing_summary": lambda d: R.q1_pricing_summary(d),
@@ -1740,6 +1848,8 @@ def build_queries() -> dict:
         "videos_frame_sample": q_videos_frame_sample,
         # --- position 51+: long-green variants without an r4 driver row ---
         "audio_features": q_audio_features,
+        "describe_customer_strings": q_describe_customer_strings,
+        "null_rate_orders": q_null_rate_orders,
         "describe_dates": q_describe_dates,
         "distinct_part": q_distinct_part,
         "top_freq_nation": q_top_freq_nation,
@@ -1798,6 +1908,8 @@ def build_oracles() -> dict:
         "docs_shard_counts": sql_docs_shard_counts(),
         "docs_shared_spans": sql_docs_shared_spans(),
         "docs_span_dedup": sql_docs_span_dedup(),
+        "docs_line_dedup": sql_docs_line_dedup(),
+        "docs_dsir_select": sql_docs_dsir_select(),
         "docs_incremental_dedup": sql_docs_incremental_dedup(),
         "docs_oov_rate": sql_docs_oov_rate(),
         "ann_topk": sql_ann_topk(),

@@ -1225,3 +1225,317 @@ def _span_finalize_part(text_col: str, id_col: str, n: int,
     covcol = cov["__cov"].combine_chunks().take(pos)   # null idx → null
     return _span_rebuild(t.append_column("__cov", covcol),
                          text_col, id_col, n)
+
+
+# ---------------------------------------------------------------- #
+# line-level exact dedup (C4 / RefinedWeb-style)                    #
+# ---------------------------------------------------------------- #
+# Remove every non-first occurrence of an exactly-duplicated LINE
+# across the whole corpus (public method: C4, Raffel et al. 2020 §2.2
+# dedups three-sentence spans; RefinedWeb, Penedo et al. 2023 §3.3
+# dedups exact lines/paragraphs). Same exchange skeleton as
+# remove_duplicate_spans — occurrences ride as (line_hash, doc, pos),
+# two hash exchanges (line → winner; doc → packed dropped positions),
+# co-partitioned task finalize, no join actors — at line instead of
+# word-n-gram granularity. Content moves only as a 64-bit hash (the
+# repo-wide exact-dedup convention, dedup.exact_dedup_by_text).
+
+
+def _line_occ_partial(t: pa.Table, text_col: str, id_col: str,
+                      sep: str, min_chars: int) -> pa.Table:
+    col = t[text_col].combine_chunks() if isinstance(
+        t[text_col], pa.ChunkedArray) else t[text_col]
+    ls = pc.split_pattern(pc.fill_null(col, ""), pattern=sep)
+    flat = ls.flatten()
+    offs = ls.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    per_doc = np.diff(offs)
+    doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), per_doc)
+    pos = (np.arange(len(flat), dtype=np.int64)
+           - offs[doc_of]).astype(np.int32)
+    # lines shorter than min_chars (in CODEPOINTS, = SQL length())
+    # never participate in dedup
+    ok = pc.utf8_length(flat).to_numpy(zero_copy_only=False) >= min_chars
+    h = H.stable_hash64_array(flat)
+    ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False) \
+        if isinstance(t[id_col], pa.ChunkedArray) else \
+        t[id_col].to_numpy(zero_copy_only=False)
+    sel = np.flatnonzero(ok)
+    return pa.table({"h": pa.array(h[sel]),
+                     "doc": pa.array(ids[doc_of[sel]]),
+                     "pos": pa.array(pos[sel])})
+
+
+@ray.remote
+def _line_occ_task(text_col: str, id_col: str, sep: str, min_chars: int,
+                   t: pa.Table) -> pa.Table:
+    return _line_occ_partial(t, text_col, id_col, sep, min_chars)
+
+
+def _line_rebuild(t: pa.Table, text_col: str, id_col: str,
+                  sep: str) -> pa.Table:
+    """Drop the covered line indices (packed <i4 positions in __cov,
+    null = nothing to drop) and re-join the surviving lines with
+    ``sep``. Fully Arrow/numpy: split_pattern → mask on the flat
+    values → rebuilt ListArray → binary_join."""
+    col = t[text_col].combine_chunks() if isinstance(
+        t[text_col], pa.ChunkedArray) else t[text_col]
+    nd = len(col)
+    ls = pc.split_pattern(pc.fill_null(col, ""), pattern=sep)
+    offs = ls.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    per_doc = np.diff(offs)
+    total = int(offs[-1]) if nd else 0
+    keep = np.ones(total, dtype=bool)
+    n_removed = np.zeros(nd, dtype=np.int64)
+    cov = t["__cov"].combine_chunks() if "__cov" in t.column_names \
+        else pa.nulls(nd, type=pa.binary())
+    lens = pc.binary_length(cov).fill_null(0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64) // 4
+    bufs = cov.buffers()
+    if bufs[2] is not None and lens.sum():
+        boffs = np.frombuffer(bufs[1], dtype=np.int32)[
+            cov.offset: cov.offset + nd + 1].astype(np.int64)
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+        # gather only valid slots' bytes in row order (nulls leave gaps)
+        take = (np.arange(int(lens.sum() * 4), dtype=np.int64)
+                - np.repeat(np.cumsum(np.append(0, lens * 4))[:-1], lens * 4)
+                + np.repeat(boffs[:-1], lens * 4))
+        drop_pos = data[take].view("<i4").astype(np.int64)
+        doc_of_c = np.repeat(np.arange(nd, dtype=np.int64), lens)
+        keep[offs[doc_of_c] + drop_pos] = False
+        n_removed = np.bincount(doc_of_c, minlength=nd).astype(np.int64)
+    kept_vals = ls.flatten().filter(pa.array(keep))
+    new_per_doc = per_doc - n_removed
+    new_offs = np.zeros(nd + 1, dtype=np.int64)
+    np.cumsum(new_per_doc, out=new_offs[1:])
+    new_list = pa.ListArray.from_arrays(
+        pa.array(new_offs, type=pa.int32()), kept_vals)
+    clean = pc.binary_join(new_list, sep)
+    return pa.table({id_col: t[id_col], "clean_text": clean,
+                     "n_lines": pa.array(per_doc.astype(np.int64)),
+                     "n_removed": pa.array(n_removed)})
+
+
+@ray.remote
+def _line_finalize_part(text_col: str, id_col: str, sep: str,
+                        cov: pa.Table, *base_parts: pa.Table) -> pa.Table:
+    t = pa.concat_tables(base_parts)
+    if t.num_rows == 0:
+        return _line_rebuild(t, text_col, id_col, sep)
+    pos = pc.index_in(t[id_col], value_set=cov[id_col])
+    covcol = cov["__cov"].combine_chunks().take(pos)   # null idx → null
+    return _line_rebuild(t.append_column("__cov", covcol),
+                         text_col, id_col, sep)
+
+
+def dedup_lines(
+    ds: "rd.Dataset", text_col: str = "text", id_col: str = "doc_id",
+    sep: str = "\n", min_chars: int = 1,
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """Corpus-wide exact LINE dedup, keep-first: every line (text split
+    on ``sep``) whose exact content occurs more than once in the whole
+    corpus keeps only its earliest occurrence (smallest (doc, line
+    index)); lines shorter than ``min_chars`` codepoints always stay.
+    Output per input row: ``(id_col, clean_text, n_lines, n_removed)``.
+
+    Scale shape (identical to :func:`remove_duplicate_spans`): the
+    input blocks are pinned once; occurrences move as (hash, doc, pos)
+    through two hash-partitioned exchanges (all occurrences of a line
+    meet in one partition → exact global keep-first; then a per-doc
+    partition packs each doc's dropped positions); the text is
+    co-partitioned by the same doc-key hash and rebuilt per partition
+    with raw tasks — no Dataset.join actors, no driver state, only
+    24 B/occurrence on the wire."""
+    from .dedup import _exchange, _exchange_split_task
+    from .quality import _ray_cpus
+
+    base = ds.select_columns([id_col, text_col])
+    base_refs = []
+    for bundle in base.iter_internal_ref_bundles():
+        base_refs.extend(bundle.block_refs)
+    if not base_refs:
+        return base.map_batches(
+            lambda t: _line_rebuild(t, text_col, id_col, sep),
+            batch_format="pyarrow", batch_size=8192)
+    occ_refs = [_line_occ_task.remote(text_col, id_col, sep, min_chars, r)
+                for r in base_refs]
+    P = num_partitions or max(2, min(32, _ray_cpus(), 2 * len(base_refs)))
+    dup_occ = _exchange(occ_refs, "h", P, _span_dup_occ, True)
+    cov_refs = _exchange(dup_occ, "doc", P, _span_cov_lists, id_col)
+    group = 8
+    splits = [
+        _exchange_split_task.options(num_returns=P).remote(
+            P, id_col, *base_refs[i : i + group])
+        for i in range(0, len(base_refs), group)
+    ]
+    out_refs = [
+        _line_finalize_part.remote(text_col, id_col, sep, cov_refs[p],
+                                   *[s[p] for s in splits])
+        for p in range(P)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
+# ---------------------------------------------------------------- #
+# DSIR — data selection via importance resampling                   #
+# ---------------------------------------------------------------- #
+# Public method: Xie et al. 2023 (arXiv:2302.03169) select pretraining
+# data by importance weight log p_target(x) - log p_raw(x) under
+# bag-of-(hashed-)ngram unigram models. Deterministic variant here:
+# add-one-smoothed word-unigram models, exact top-fraction selection
+# on the 6-dp-rounded score (>= the k-th largest, so ties at the
+# cutoff are all kept — no float tie-break across engines).
+
+
+def _dsir_count_partial(t: pa.Table, text_col: str, target_mask: np.ndarray,
+                        hash_buckets: int | None) -> pa.Table:
+    col = t[text_col].combine_chunks() if isinstance(
+        t[text_col], pa.ChunkedArray) else t[text_col]
+    ls = pc.split_pattern(pc.fill_null(col, ""), pattern=" ")
+    flat = ls.flatten()
+    per_doc = np.diff(ls.offsets.to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+    tgt_tok = np.repeat(target_mask, per_doc)
+    if hash_buckets is not None:
+        key = (H.stable_hash64_array(flat).view(np.uint64)
+               % np.uint64(hash_buckets)).astype(np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        c_raw = np.bincount(inv, minlength=len(uk))
+        c_tgt = np.bincount(inv[tgt_tok], minlength=len(uk))
+        return pa.table({"k": pa.array(uk),
+                         "c_raw": pa.array(c_raw, type=pa.int64()),
+                         "c_tgt": pa.array(c_tgt, type=pa.int64())})
+    # exact word mode (the SQL-oracle path): per-block combine via an
+    # Arrow dictionary-encode — one row per distinct word per block
+    enc = pc.dictionary_encode(flat)
+    inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    nuniq = len(enc.dictionary)
+    c_raw = np.bincount(inv, minlength=nuniq)
+    c_tgt = np.bincount(inv[tgt_tok], minlength=nuniq)
+    return pa.table({"k": enc.dictionary,
+                     "c_raw": pa.array(c_raw, type=pa.int64()),
+                     "c_tgt": pa.array(c_tgt, type=pa.int64())})
+
+
+def dsir_select(
+    ds: "rd.Dataset", text_col: str = "text", id_col: str = "doc_id",
+    target_col: str = "lang", target_value: str = "en",
+    top_frac: float = 0.25, hash_buckets: int | None = None,
+) -> "rd.Dataset":
+    """DSIR-style importance selection: score every document by
+    sum over its tokens of ``ln p_target(w) - ln p_raw(w)`` under
+    add-one-smoothed unigram models (target = rows where
+    ``target_col == target_value``; raw = the whole corpus), then mark
+    ``selected`` = score >= the ``ceil(top_frac*N)``-th largest
+    6-dp-rounded score (ties at the cutoff all selected — exact,
+    engine-order-free). Output: (id_col, dsir_score, selected).
+
+    Scale shape: two streaming scans + one tiny pinned intermediate.
+    Scan 1 reduces each block to (key, c_raw, c_tgt) count partials —
+    with ``hash_buckets`` set (the 100 TB path, DSIR's own hashed
+    n-gram trick) the driver-merged model is bounded by the bucket
+    count, not the corpus vocabulary; tokens never leave their block.
+    The model rides to scan 2 as ONE broadcast ``ray.put`` (sorted
+    keys + per-key log-term vector, numpy); scan 2 scores each block
+    vectorized (index_in / searchsorted + bincount-weights) into a
+    compact (id, score) dataset that is materialized (16 B/row — spill
+    it to parquet shards via the ``quality._single_read_pipeline``
+    pattern if even that outgrows the object store). The selection
+    cutoff is exact from per-block (rounded-score, count) histogram
+    partials; the mark pass streams over the pinned score blocks.
+    """
+    proj = ds.select_columns([id_col, text_col, target_col])
+
+    def counts(t: pa.Table) -> pa.Table:
+        m = pc.equal(t[target_col], pa.scalar(target_value))
+        mask = pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+        return _dsir_count_partial(t, text_col, mask, hash_buckets)
+
+    parts = proj.map_batches(counts, batch_format="pyarrow",
+                             batch_size=65536)
+    acc: dict = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for k, cr, ct in zip(b["k"].to_pylist(),
+                             b["c_raw"].to_numpy(zero_copy_only=False),
+                             b["c_tgt"].to_numpy(zero_copy_only=False)):
+            if k in acc:
+                acc[k][0] += int(cr)
+                acc[k][1] += int(ct)
+            else:
+                acc[k] = [int(cr), int(ct)]
+    if not acc:
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "dsir_score": pa.array([], type=pa.float64()),
+            "selected": pa.array([], type=pa.bool_())}))
+    keys = sorted(acc)
+    c_raw = np.array([acc[k][0] for k in keys], dtype=np.float64)
+    c_tgt = np.array([acc[k][1] for k in keys], dtype=np.float64)
+    T_, R_, V_ = c_tgt.sum(), c_raw.sum(), float(len(keys))
+    term = (np.log(c_tgt + 1.0) - np.log(T_ + V_)
+            - np.log(c_raw + 1.0) + np.log(R_ + V_))
+    if hash_buckets is not None:
+        vocab = np.array(keys, dtype=np.int64)
+    else:
+        vocab = pa.array(keys, type=pa.string())
+    model_ref = ray.put((vocab, term))
+
+    def score(t: pa.Table) -> pa.Table:
+        voc, tm = _cached_ref(model_ref)
+        col = t[text_col].combine_chunks() if isinstance(
+            t[text_col], pa.ChunkedArray) else t[text_col]
+        ls = pc.split_pattern(pc.fill_null(col, ""), pattern=" ")
+        flat = ls.flatten()
+        per_doc = np.diff(ls.offsets.to_numpy(zero_copy_only=False)
+                          .astype(np.int64))
+        doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), per_doc)
+        if hash_buckets is not None:
+            key = (H.stable_hash64_array(flat).view(np.uint64)
+                   % np.uint64(hash_buckets)).astype(np.int64)
+            idx = np.searchsorted(voc, key)
+        else:
+            idx = pc.index_in(flat, value_set=voc) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.bincount(doc_of, weights=tm[idx], minlength=t.num_rows)
+        return pa.table({id_col: t[id_col],
+                         "dsir_score": pa.array(round_half_up(s, 6))})
+
+    scores = proj.map_batches(score, batch_format="pyarrow",
+                              batch_size=65536).materialize()
+    # exact cutoff from per-block histograms on the 6-dp integer grid
+    hist: dict[int, int] = {}
+    n_total = 0
+
+    def h_part(t: pa.Table) -> pa.Table:
+        v = np.round(t["dsir_score"].to_numpy(zero_copy_only=False)
+                     * 1e6).astype(np.int64)
+        uv, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uv),
+                         "c": pa.array(cnt, type=pa.int64())})
+
+    for b in scores.map_batches(h_part, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for v, c in zip(b["v"].to_numpy(zero_copy_only=False),
+                        b["c"].to_numpy(zero_copy_only=False)):
+            hist[int(v)] = hist.get(int(v), 0) + int(c)
+            n_total += int(c)
+    k = int(math.ceil(top_frac * n_total))
+    run = 0
+    cutoff = None
+    for v in sorted(hist, reverse=True):
+        run += hist[v]
+        if run >= k:
+            cutoff = v
+            break
+    thr = cutoff if cutoff is not None else -(1 << 62)
+
+    def mark(t: pa.Table) -> pa.Table:
+        # compare on the SAME integer grid h_part used — comparing the
+        # reconstructed double (cutoff/1e6) against the rounded score
+        # can differ by one ulp exactly at the cutoff
+        v = np.round(t["dsir_score"].to_numpy(zero_copy_only=False)
+                     * 1e6).astype(np.int64)
+        return t.append_column("selected", pa.array(v >= thr))
+
+    return scores.map_batches(mark, batch_format="pyarrow",
+                              batch_size=65536)

@@ -674,3 +674,80 @@ def test_cap_per_key_empty_input_preserves_schema(ray_session):
     assert got_ds.count() == 0
     assert sch.field("k").type == pa.int32()
     assert sch.field("i").type == pa.string()
+
+
+def test_dedup_lines_keep_first_semantics(ray_session):
+    """Corpus-wide exact line dedup: first (doc, line-idx) occurrence
+    survives, later exact copies are cut, short lines (< min_chars)
+    and unique lines stay; counters per doc."""
+    import ray.data as rd
+
+    from dataquality_cli_ray.pipelines.corpus_ops import dedup_lines
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma\nshort\ndup line here",
+            "dup line here\nunique middle\ndup line here",
+            "zz\nalpha beta gamma",
+        ]),
+    })
+    out = (dedup_lines(rd.from_arrow(t).repartition(3), min_chars=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc 1 keeps everything (it holds the first occurrences)
+    assert out.loc[0, "clean_text"] == "alpha beta gamma\nshort\ndup line here"
+    assert out.loc[0, "n_removed"] == 0 and out.loc[0, "n_lines"] == 3
+    # doc 2 loses BOTH copies of the dup line (first occurrence is doc 1's)
+    assert out.loc[1, "clean_text"] == "unique middle"
+    assert out.loc[1, "n_removed"] == 2
+    # doc 3: "zz" is below min_chars=3 -> immune even though duplicated
+    # nowhere; "alpha beta gamma" is a later copy -> cut
+    assert out.loc[2, "clean_text"] == "zz"
+    assert out.loc[2, "n_removed"] == 1 and out.loc[2, "n_lines"] == 2
+
+
+def test_dedup_lines_within_doc_and_empty(ray_session):
+    """Within-doc repeats count toward the duplicate decision; empty
+    input and docs with every line removed rebuild cleanly."""
+    import ray.data as rd
+
+    from dataquality_cli_ray.pipelines.corpus_ops import dedup_lines
+
+    t = pa.table({
+        "doc_id": pa.array([10, 11], type=pa.int64()),
+        "text": pa.array(["same\nsame\nsame", "same"]),
+    })
+    out = (dedup_lines(rd.from_arrow(t), min_chars=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "clean_text"] == "same"      # keeps only (10, 0)
+    assert out.loc[0, "n_removed"] == 2
+    assert out.loc[1, "clean_text"] == ""          # all lines removed
+    assert out.loc[1, "n_removed"] == 1
+
+
+def test_dsir_select_matches_sql_and_hashed_mode(ray_session):
+    """Exact-word DSIR scores/selection match the DuckDB oracle;
+    hashed-feature mode (the unbounded-vocabulary path) picks the same
+    documents on the fixture (no bucket collisions at 2^16 over ~30
+    distinct words)."""
+    import ray.data as rd
+
+    from dataquality_cli_ray.entrypoints import (
+        q_docs_dsir_select, sql_docs_dsir_select)
+    from dataquality_cli_ray.pipelines.corpus_ops import dsir_select
+    from dataquality_cli_ray.sources.readers import read_parquet_small
+
+    out = q_docs_dsir_select(SF)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    o = con.execute(sql_docs_dsir_select()).fetchdf()
+    assert (out["dsir_score"].to_numpy() == o["dsir_score"].to_numpy()).all()
+    assert (out["selected"].to_numpy() == o["selected"].to_numpy()).all()
+    assert 0 < out["selected"].sum() < len(out)
+
+    docs = read_parquet_small(f"{SF}/documents.parquet",
+                              columns=["doc_id", "text", "lang"])
+    hashed = (dsir_select(docs, hash_buckets=1 << 16)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (hashed["selected"].to_numpy() == out["selected"].to_numpy()).all()
