@@ -237,6 +237,15 @@ def cmd_corpus(args) -> int:
         out = CO.remove_duplicate_spans(ds, args.text_col, args.id_col,
                                         n=args.ngram,
                                         keep_first=args.keep_first)
+    elif op == "line-dedup":
+        out = CO.dedup_lines(ds, args.text_col, args.id_col,
+                             min_chars=args.min_chars)
+    elif op == "dsir-select":
+        out = CO.dsir_select(ds, args.text_col, args.id_col,
+                             target_col=args.key_col,
+                             target_value=args.target_value,
+                             top_frac=args.frac,
+                             hash_buckets=args.hash_buckets)
     elif op == "resample":
         out = CO.temperature_resample(ds, args.key_col, args.id_col,
                                       alpha=args.alpha)
@@ -313,6 +322,7 @@ def main(argv=None) -> int:
                                   "quantile-filter", "pack",
                                   "stratified-sample", "resample",
                                   "split", "shard", "shared-spans", "span-dedup",
+                                  "line-dedup", "dsir-select",
                                   "build-index", "dedup-vs-index",
                                   "quality-lr", "oov-rate"])
     c.add_argument("--input", required=True)
@@ -346,6 +356,13 @@ def main(argv=None) -> int:
                    help="resample temperature exponent")
     c.add_argument("--index",
                    help="dedup-vs-index: path of a build-index output")
+    c.add_argument("--min-chars", type=int, default=1,
+                   help="line-dedup: lines shorter than this never dedup")
+    c.add_argument("--target-value", default="en",
+                   help="dsir-select: target-subset value of --key-col")
+    c.add_argument("--hash-buckets", type=int, default=None,
+                   help="dsir-select: hashed-feature bucket count "
+                        "(default exact-word model)")
     c.add_argument("--train-frac", type=float, default=0.5,
                    help="quality-lr: hash-sampled training fraction")
     c.add_argument("--num-cpus", type=int, default=None)

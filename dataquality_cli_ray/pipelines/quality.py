@@ -901,27 +901,46 @@ def images_quality_pipeline(
         ctx.target_max_block_size or (128 << 20), 32 << 20)
     from ..sources.readers import read_table
 
-    nrows, nfiles = _parquet_rows(input_path)
-    ds = read_table(input_path)   # lance when available, else parquet
-    if dedup_mode == "single" and dup_map is None:
-        return _single_read_pipeline(ds, cfg, decode, **kw)
-    if dedup_mode == "join" and dup_map is None:
-        proj = read_table(input_path, columns=[cfg.dedup_key, cfg.id_col])
-        return quality_pipeline(ds, None, cfg, decode=decode,
-                                dup_ds=dup_groups_dataset(proj), **kw)
-    if dup_map is None:
-        if dedup_mode == "staged":
-            # run the pre-pass DIRECTLY from the driver: the detached
-            # shell task added 1-2 s (task launch + a second in-worker
-            # footer prefetch) that the staged mode, which blocks on the
-            # result anyway, has no reason to pay
-            dup_map = _staged_prepass(input_path, cfg, nrows, nfiles)
-        else:
-            dup_ref = _dup_prepass_task.remote(input_path, cfg.dedup_key,
-                                               cfg.id_col, nrows, nfiles)
+    # The staged (and resolved-dup-map) plan fuses to ONE operator, so
+    # the streaming executor's per-op resource reservation buys nothing
+    # — yet it still withholds slots (measured 25.7 → 22.3 s at 25.6 M
+    # rows / 32 CPUs with it disabled; steady busy 26.5 → 29+). The
+    # DataContext is SNAPSHOTTED when the source Dataset is created, so
+    # the flag is scoped to this plan: disabled before read_table,
+    # restored right after the plan is assembled. Multi-op modes
+    # (broadcast's parked mark stage, join's shuffle actors) keep the
+    # reservation — it is load-bearing against starvation there.
+    single_op_plan = dedup_mode == "staged" or dup_map is not None
+    prev_reservation = ctx.op_resource_reservation_enabled
+    if single_op_plan:
+        ctx.op_resource_reservation_enabled = False
+    try:
+        nrows, nfiles = _parquet_rows(input_path)
+        ds = read_table(input_path)   # lance when available, else parquet
+        if dedup_mode == "single" and dup_map is None:
+            return _single_read_pipeline(ds, cfg, decode, **kw)
+        if dedup_mode == "join" and dup_map is None:
+            proj = read_table(input_path,
+                              columns=[cfg.dedup_key, cfg.id_col])
             return quality_pipeline(ds, None, cfg, decode=decode,
-                                    dup_ref=dup_ref, **kw)
-    return quality_pipeline(ds, dup_map, cfg, decode=decode, **kw)
+                                    dup_ds=dup_groups_dataset(proj), **kw)
+        if dup_map is None:
+            if dedup_mode == "staged":
+                # run the pre-pass DIRECTLY from the driver: the
+                # detached shell task added 1-2 s (task launch + a
+                # second in-worker footer prefetch) that the staged
+                # mode, which blocks on the result anyway, has no
+                # reason to pay
+                dup_map = _staged_prepass(input_path, cfg, nrows, nfiles)
+            else:
+                dup_ref = _dup_prepass_task.remote(
+                    input_path, cfg.dedup_key, cfg.id_col, nrows, nfiles)
+                return quality_pipeline(ds, None, cfg, decode=decode,
+                                        dup_ref=dup_ref, **kw)
+        return quality_pipeline(ds, dup_map, cfg, decode=decode, **kw)
+    finally:
+        if single_op_plan:
+            ctx.op_resource_reservation_enabled = prev_reservation
 
 
 def pipeline_metrics(executed_ds: "rd.Dataset") -> dict:
