@@ -27,7 +27,13 @@ from ..functions import imagefake as IF
 
 # per-worker scratch for DecodeImageStage's same-shape payload blocks,
 # keyed by row width (bytes) — avoids a fresh multi-MB allocation (page
-# faults + zeroing) per batch per shape group
+# faults + zeroing) per batch per shape group. SCRATCH_TARGET_BYTES
+# bounds the rows processed per inner iteration so the slab stays
+# cache-resident (see the kernel comment in DecodeImageStage).
+import os as _os
+
+SCRATCH_TARGET_BYTES = int(_os.environ.get("DQ_SCRATCH_TARGET_BYTES",
+                                           1 << 20))
 _SCRATCH: dict = {}
 
 
@@ -130,51 +136,66 @@ class DecodeImageStage:
             h, w = int(key >> 16), int(key & 0xFFFF)
             k = len(idxs)
             hw3 = h * w * 3
-            # per-row slice-copy into a reused scratch block: a 2-D
+            # per-row slice-copy into a reused CACHE-RESIDENT scratch
+            # slab, processed ≤ ~256 KB of rows at a time: a 2-D
             # fancy-index gather materializes an int64 index array 8x
-            # the payload itself (measured 10.6 vs 0.9 us/row); the
-            # slice assignment is a plain memcpy per row
+            # the payload (measured 10.6 vs 0.9 us/row), and a
+            # whole-group scratch (MBs) spills to DRAM, turning its
+            # write + two kernel reads into 3 extra shared-bus passes
+            # over the payload — the bus, not CPU, sets the 8-vs-32
+            # scaling ratio on one host (BASELINE.md round-4). Chunked,
+            # the scratch stays in L2 and the only DRAM traffic is the
+            # single payload read. The sum/einsum reductions use
+            # numpy's buffered iteration (no int64 temp), and per-chunk
+            # results are exact integer sums — bit-identical output.
+            sub = max(1, SCRATCH_TARGET_BYTES // hw3)
             buf = _SCRATCH.get(hw3)
-            if buf is None or buf.shape[0] < k:
+            rows_cap = min(k, sub)
+            if buf is None or buf.shape[0] < rows_cap:
                 if len(_SCRATCH) >= 16:   # bound worker memory across
                     _SCRATCH.clear()      # many distinct image shapes
-                buf = np.empty((k, hw3), dtype=np.uint8)
+                buf = np.empty((rows_cap, hw3), dtype=np.uint8)
                 _SCRATCH[hw3] = buf
-            flat = buf[:k]
-            for j, s in enumerate(start[idxs] + 9):
-                flat[j] = data[s: s + hw3]
-            # exact integer sums on the uint8 pixels (no float32
-            # expansion — that full-pixel float copy was ~4x the
-            # payload in memory traffic, the kernel's bandwidth cost
-            # at full parallelism); mean/std from the exact sums in
-            # float64: population std = sqrt(E[x^2] - E[x]^2)
             npix = hw3
-            s1 = flat.sum(axis=1, dtype=np.int64).astype(np.float64)
-            s2 = np.einsum("ij,ij->i", flat, flat,
-                           dtype=np.int64).astype(np.float64)
-            mu = s1 / npix
-            bright[idxs] = mu
-            contrast[idxs] = np.sqrt(np.maximum(s2 / npix - mu * mu, 0.0))
             ys = (np.arange(8) * h // 8).clip(0, h - 1)
             xs = (np.arange(8) * w // 8).clip(0, w - 1)
-            # sample the same 8x8 pixel grid via a flat index gather
+            # the same 8x8 pixel grid sample as the per-image form
             samp = ((ys[:, None] * w + xs[None, :]) * 3).reshape(-1)
             samp = (samp[:, None] + np.arange(3)).reshape(-1)
-            small = np.ascontiguousarray(
-                flat[:, samp].reshape(k, 64, 3).astype(
-                    np.float32).mean(axis=2).reshape(k, 64))
-            # threshold mean per row: on a CONTIGUOUS (k, 64) float32
-            # array the axis reduction uses the same pairwise summation
-            # order as the per-image 1-D .mean(), so this is
-            # bit-identical to the per-row loop it replaced (which cost
-            # ~10 us/row in numpy call overhead); pinned by
-            # test_axis_mean_bit_identical_to_per_row
-            thr = small.mean(axis=1, dtype=np.float32)[:, None]
-            bits = small > thr
-            # integer multiply+sum, NOT matmul: 2-D matmul on uint64
-            # silently goes through float64 and loses low bits
-            ahash[idxs] = (bits.astype(np.uint64) * IF._AHASH_POW2[None, :]
-                           ).sum(axis=1).view(np.int64)
+            starts9 = start[idxs] + 9
+            for j0 in range(0, k, sub):
+                j1 = min(j0 + sub, k)
+                flat = buf[: j1 - j0]
+                for j, s in enumerate(starts9[j0:j1]):
+                    flat[j] = data[s: s + hw3]
+                ids = idxs[j0:j1]
+                # exact integer sums on the uint8 pixels (no float32
+                # expansion); mean/std from the exact sums in float64:
+                # population std = sqrt(E[x^2] - E[x]^2)
+                s1 = flat.sum(axis=1, dtype=np.int64).astype(np.float64)
+                s2 = np.einsum("ij,ij->i", flat, flat,
+                               dtype=np.int64).astype(np.float64)
+                mu = s1 / npix
+                bright[ids] = mu
+                contrast[ids] = np.sqrt(np.maximum(s2 / npix - mu * mu,
+                                                   0.0))
+                small = np.ascontiguousarray(
+                    flat[:, samp].reshape(-1, 64, 3).astype(
+                        np.float32).mean(axis=2).reshape(-1, 64))
+                # threshold mean per row: on a CONTIGUOUS (k, 64)
+                # float32 array the axis reduction uses the same
+                # pairwise summation order as the per-image 1-D
+                # .mean(), so this is bit-identical to the per-row
+                # loop it replaced (~10 us/row of numpy call
+                # overhead); pinned by
+                # test_axis_mean_bit_identical_to_per_row
+                thr = small.mean(axis=1, dtype=np.float32)[:, None]
+                bits = small > thr
+                # integer multiply+sum, NOT matmul: 2-D matmul on
+                # uint64 silently goes through float64, losing low bits
+                ahash[ids] = (bits.astype(np.uint64)
+                              * IF._AHASH_POW2[None, :]
+                              ).sum(axis=1).view(np.int64)
         # real-codec fallback (import-gated like the Lance reader): rows
         # the FIMG header parse rejected get one try through Pillow when
         # it's importable — absent in this sandbox, so the branch is a
