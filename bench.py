@@ -53,7 +53,7 @@ def run_benchmarks() -> dict:
     from dataquality_cli_ray.pipelines import dedup as DD
     from dataquality_cli_ray.pipelines import similarity as SIM
     from dataquality_cli_ray.pipelines import textqa as TQ
-    from dataquality_cli_ray.pipelines.profiler import describe
+    from dataquality_cli_ray.pipelines.profiler import describe_file
     from dataquality_cli_ray.sources.readers import read_parquet_small
     from dataquality_cli_ray.pipelines.quality import (
         build_models,
@@ -122,7 +122,7 @@ def run_benchmarks() -> dict:
 
     timed("q1_pricing_summary", lambda: R.q1_pricing_summary(SF_DIR))
     timed("describe_lineitem",
-          lambda: describe(read_parquet_small(f"{SF_DIR}/lineitem.parquet")))
+          lambda: describe_file(f"{SF_DIR}/lineitem.parquet"))
     timed("revenue_by_segment", lambda: R.revenue_by_segment(SF_DIR))
     timed("events_hourly", lambda: R.events_hourly(SF_DIR))
     timed("events_last_order", lambda: R.events_last_order(SF_DIR))

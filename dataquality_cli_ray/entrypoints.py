@@ -21,7 +21,8 @@ from .pipelines import dedup as DD
 from .pipelines import relational as R
 from .pipelines import similarity as SIM
 from .pipelines import textqa as TQ
-from .pipelines.profiler import describe, null_percentage, quality_rating
+from .pipelines.profiler import (describe, describe_file, null_percentage,
+                                 quality_rating)
 from .stages.rules import HeuristicRules, QualityConfig, finalize_decision
 from .stages.scrub import SCRUB_PATTERNS, PiiScrubber
 
@@ -66,8 +67,7 @@ def _null_expr(col: str, kind: str) -> str:
 # ---------------------------------------------------------------------------
 
 def q_describe_lineitem_numeric(sf_dir: str) -> pd.DataFrame:
-    ds = read_parquet_small(f"{sf_dir}/lineitem.parquet")
-    t = describe(ds).to_pandas()
+    t = describe_file(f"{sf_dir}/lineitem.parquet").to_pandas()
     t = t[t["kind"] == "numeric"].copy()
     out = pd.DataFrame({
         "col_name": t["column"],
@@ -104,8 +104,8 @@ FROM lineitem""")
 
 
 def q_describe_customer_strings(sf_dir: str) -> pd.DataFrame:
-    ds = read_parquet_small(f"{sf_dir}/customer.parquet")
-    t = describe(ds).to_pandas().set_index("column")
+    t = describe_file(f"{sf_dir}/customer.parquet") \
+        .to_pandas().set_index("column")
     rows = []
     for c in STRING_COLS_CUSTOMER:
         r = t.loc[c]
@@ -188,8 +188,7 @@ FROM s"""
 
 
 def q_null_rate_orders(sf_dir: str) -> pd.DataFrame:
-    ds = read_parquet_small(f"{sf_dir}/orders.parquet")
-    t = describe(ds).to_pandas()
+    t = describe_file(f"{sf_dir}/orders.parquet").to_pandas()
     out = pd.DataFrame({
         "col_name": t["column"],
         "nulls": t["nulls"].astype("int64"),
@@ -212,8 +211,9 @@ def sql_null_rate_orders() -> str:
 
 
 def q_distinct_part(sf_dir: str) -> pd.DataFrame:
-    ds = read_parquet_small(f"{sf_dir}/part.parquet", columns=DISTINCT_COLS_PART)
-    t = describe(ds).to_pandas().set_index("column")
+    t = describe_file(f"{sf_dir}/part.parquet",
+                      columns=DISTINCT_COLS_PART) \
+        .to_pandas().set_index("column")
     rows = [{"col_name": c, "unique_cnt": int(t.loc[c]["unique"])}
             for c in DISTINCT_COLS_PART]
     return pd.DataFrame(rows).sort_values("col_name").reset_index(drop=True)
@@ -228,8 +228,9 @@ def sql_distinct_part() -> str:
 
 
 def q_top_freq_nation(sf_dir: str) -> pd.DataFrame:
-    ds = read_parquet_small(f"{sf_dir}/nation.parquet", columns=["n_regionkey"])
-    t = describe(ds).to_pandas().set_index("column")
+    t = describe_file(f"{sf_dir}/nation.parquet",
+                      columns=["n_regionkey"]) \
+        .to_pandas().set_index("column")
     r = t.loc["n_regionkey"]
     return pd.DataFrame([{"top": str(r["top"]), "freq": int(r["freq"])}])
 
@@ -243,8 +244,7 @@ ORDER BY freq DESC, n_regionkey LIMIT 1"""
 def q_rollup_quality(sf_dir: str) -> pd.DataFrame:
     rows = []
     for tbl in ["region", "nation", "customer", "supplier"]:
-        ds = read_parquet_small(f"{sf_dir}/{tbl}.parquet")
-        stats = describe(ds)
+        stats = describe_file(f"{sf_dir}/{tbl}.parquet")
         np_ = null_percentage(stats)
         rows.append({
             "table_name": tbl,
@@ -1714,8 +1714,8 @@ def q_images_describe(sf_dir: str) -> pd.DataFrame:
     from .fixtures.images import generate_images_parquet
 
     path = generate_images_parquet(2000, use_ray=False)
-    ds = read_parquet_small(path, columns=["w", "h", "fmt", "caption", "phash"])
-    df = describe(ds).to_pandas()
+    df = describe_file(
+        path, columns=["w", "h", "fmt", "caption", "phash"]).to_pandas()
     # merge-order float noise (Chan mean/std partials) is ~1e-15
     # relative; round every float column at 6 dp so the golden-parquet
     # oracle hash is stable across block schedules

@@ -119,6 +119,76 @@ def describe(
     return _rows_to_table(rows)
 
 
+def describe_file(
+    path,
+    mode: str = "exact",
+    columns: list[str] | None = None,
+    max_tasks: int = 256,
+) -> pa.Table:
+    """Profile local parquet file(s) with ROW-GROUP read granularity.
+
+    ``describe(read_parquet(...))`` on a single large file is serialized
+    behind one ReadParquet task (Ray's read granularity is per-file):
+    measured 1.4 s for a 600 k × 16 table whose stats cost 0.2 s
+    single-threaded. Here each raw task reads a contiguous run of row
+    groups with pyarrow and folds them into one ``ColumnPartial`` map;
+    the driver (or a remote tree level past 64 tasks) finishes the
+    fold in deterministic (file, row-group) order. Scale shape: tasks =
+    min(max_tasks, row groups), each O(columns × caps) output —
+    the same per-file fan-out as ``describe_directory``, pushed down to
+    row groups. Same output schema as ``describe``."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import ray
+
+    caps = SKETCH_CAPS if mode == "sketch" else None
+    paths = path if isinstance(path, (list, tuple)) else [path]
+    files: list[str] = []
+    for p in paths:
+        sp = str(p)
+        if os.path.isdir(sp):
+            files.extend(sorted(
+                os.path.join(sp, f) for f in os.listdir(sp)
+                if f.endswith(".parquet")))
+        else:
+            files.append(sp)
+    units = [(f, rg) for f in files
+             for rg in range(pq.ParquetFile(f).metadata.num_row_groups)]
+    if not units:
+        return _rows_to_table([])
+    # pack contiguous units into <= max_tasks groups (order-preserving)
+    n_tasks = min(max_tasks, len(units))
+    per = (len(units) + n_tasks - 1) // n_tasks
+    groups = [units[i:i + per] for i in range(0, len(units), per)]
+
+    @ray.remote
+    def part(grp):
+        merged: dict = {}
+        pf_cache: dict = {}
+        for f, rg in grp:
+            pf = pf_cache.get(f) or pf_cache.setdefault(f, pq.ParquetFile(f))
+            t = pf.read_row_group(rg, columns=columns)
+            m = partials_for_table(t, columns, caps=caps)
+            merged = merge_partial_maps(([merged] if merged else []) + [m])
+        return merged
+
+    @ray.remote
+    def fold(*maps):
+        return merge_partial_maps([m for m in maps if m])
+
+    refs = [part.remote(g) for g in groups]
+    while len(refs) > 64:                       # remote tree levels
+        refs = [fold.remote(*refs[i:i + 32])
+                for i in range(0, len(refs), 32)]
+    maps = [m for m in ray.get(refs) if m]
+    merged = merge_partial_maps(maps) if maps else {}
+    order = columns or list(merged.keys())
+    rows = [merged[c].finalize() for c in order if c in merged]
+    return _rows_to_table(rows)
+
+
 def describe_directory(
     files: list[str], mode: str = "exact", columns: list[str] | None = None,
 ) -> dict[str, pa.Table]:

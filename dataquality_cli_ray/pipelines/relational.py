@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count
 
 from ..functions.rounding import round_half_up
 from ..sources.readers import read_parquet_small
@@ -40,6 +40,85 @@ def _cached_ref(ref):
             _WORKER_CACHE.clear()
         _WORKER_CACHE[key] = v
     return v
+
+
+def tree_grouped_agg(
+    ds: "rd.Dataset",
+    keys: list[str],
+    sums: list[str] = (),
+    means: list[str] = (),
+    count_alias: str | None = None,
+    batch_size: int = 65536,
+    fanin: int = 256,
+) -> pa.Table:
+    """Grouped sum/mean/count with a per-batch COMBINER and a tree
+    merge — the shuffle-free shape for bounded group cardinality.
+
+    ``Dataset.groupby`` pays a sort-based all-to-all exchange of every
+    row; when the group count is bounded (windows × types, TPC-H flag
+    pairs, market segments), the right 100 TB shape is: each batch
+    pre-aggregates to O(groups) partial rows inside ``map_batches``,
+    two 256-way merge levels re-aggregate the partials (so 10^6 input
+    blocks reach the driver as ≤ ~16 tiny tables), and the driver
+    finishes the fold. No shuffle operator in the plan, and the fused
+    read→combine→merge chain is a single streaming operator.
+
+    Means travel as (sum, non-null count) partials and are finalized as
+    sum/count (matches SQL AVG null semantics). ``count_alias`` counts
+    rows (COUNT(*)).
+
+    Returns the final aggregated pa.Table with columns
+    ``keys + [f"{c}_sum" for sums] + [f"{c}_mean" for means] +
+    [count_alias]`` (suffixed so a column may be both summed and
+    averaged).
+    """
+    sums, means = list(sums), list(means)
+    # partial column layout (canonical names survive the merge levels)
+    p_sum = {c: f"__s_{c}" for c in dict.fromkeys(sums + means)}
+    p_cnt = {c: f"__c_{c}" for c in means}
+
+    def combine(t: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in p_sum] + [(c, "count") for c in p_cnt]
+        if count_alias is not None:
+            aggs.append(([], "count_all"))
+        g = t.group_by(keys, use_threads=False).aggregate(aggs)
+        names = []
+        for n in g.column_names:
+            if n.endswith("_sum") and n[:-4] in p_sum:
+                names.append(p_sum[n[:-4]])
+            elif n.endswith("_count") and n[:-6] in p_cnt:
+                names.append(p_cnt[n[:-6]])
+            elif n == "count_all":
+                names.append("__n")
+            else:
+                names.append(n)
+        return g.rename_columns(names)
+
+    def merge(t: pa.Table) -> pa.Table:
+        part_cols = [c for c in t.column_names if c not in keys]
+        g = t.group_by(keys, use_threads=False).aggregate(
+            [(c, "sum") for c in part_cols])
+        return g.rename_columns(
+            [n[:-4] if n.endswith("_sum") and n[:-4] in part_cols else n
+             for n in g.column_names])
+
+    part = ds.map_batches(combine, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)
+    for _ in range(2):
+        part = part.map_batches(merge, batch_format="pyarrow",
+                                batch_size=fanin)
+    final = merge(pa.concat_tables(
+        part.iter_batches(batch_size=fanin, batch_format="pyarrow"),
+        promote_options="default"))
+    out: dict[str, pa.Array] = {k: final[k] for k in keys}
+    for c in sums:
+        out[f"{c}_sum"] = final[p_sum[c]]
+    for c in means:
+        out[f"{c}_mean"] = pc.divide(final[p_sum[c]],
+                                     pc.cast(final[p_cnt[c]], pa.float64()))
+    if count_alias is not None:
+        out[count_alias] = final["__n"]
+    return pa.table(out)
 
 
 def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> pd.DataFrame:
@@ -61,21 +140,17 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> pd.DataFrame:
         t = t.append_column("disc_price", disc_price)
         return t.append_column("charge", charge)
 
-    agg = (
+    agg = tree_grouped_agg(
         ds.map_batches(prep, batch_format="pyarrow", batch_size=65536,
-                       zero_copy_batch=True)
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Sum("charge", alias_name="sum_charge"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Mean("l_extendedprice", alias_name="avg_price"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="count_order"),
-        )
-    )
+                       zero_copy_batch=True),
+        keys=["l_returnflag", "l_linestatus"],
+        sums=["l_quantity", "l_extendedprice", "disc_price", "charge"],
+        means=["l_quantity", "l_extendedprice", "l_discount"],
+        count_alias="count_order",
+    ).rename_columns(
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+         "sum_disc_price", "sum_charge", "avg_qty", "avg_price",
+         "avg_disc", "count_order"])
     df = agg.to_pandas()
     # money-scale sums at 2 dp (accumulation-order noise ~1e-6 at this
     # magnitude), unit-scale avgs at 6 dp — mirrored in the oracle SQL
@@ -108,12 +183,13 @@ def revenue_by_segment(sf_dir: str) -> pd.DataFrame:
 
     ds = read_parquet_small(f"{sf_dir}/orders.parquet",
                          columns=["o_custkey", "o_totalprice"])
-    agg = (
-        ds.map_batches(add_segment, batch_format="pyarrow", batch_size=65536)
-        .groupby("c_mktsegment")
-        .aggregate(Sum("o_totalprice", alias_name="revenue"),
-                   Count(alias_name="n_orders"))
-    )
+    agg = tree_grouped_agg(
+        ds.map_batches(add_segment, batch_format="pyarrow",
+                       batch_size=65536),
+        keys=["c_mktsegment"],
+        sums=["o_totalprice"],
+        count_alias="n_orders",
+    ).rename_columns(["c_mktsegment", "revenue", "n_orders"])
     df = agg.to_pandas()
     df["revenue"] = round_half_up(df["revenue"], 2)
     df["n_orders"] = df["n_orders"].astype("int64")
@@ -131,13 +207,13 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
         w = pc.floor_temporal(t["ts"], unit="hour")
         return t.append_column("window_start", w)
 
-    agg = (
+    agg = tree_grouped_agg(
         ds.map_batches(add_window, batch_format="pyarrow", batch_size=65536,
-                       zero_copy_batch=True)
-        .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n"),
-                   Mean("value", alias_name="avg_value"))
-    )
+                       zero_copy_batch=True),
+        keys=["event_type", "window_start"],
+        means=["value"],
+        count_alias="n",
+    ).rename_columns(["event_type", "window_start", "avg_value", "n"])
     df = agg.to_pandas()
     df["avg_value"] = round_half_up(df["avg_value"], 6)
     df["n"] = df["n"].astype("int64")
@@ -149,8 +225,9 @@ def top_users_by_value(sf_dir: str, k: int = 10) -> pd.DataFrame:
     (deterministic tie-break: value desc, user_id asc)."""
     ds = read_parquet_small(f"{sf_dir}/events.parquet",
                          columns=["user_id", "value"])
-    agg = ds.groupby("user_id").aggregate(
-        Sum("value", alias_name="total_value"), Count(alias_name="n_events"))
+    agg = tree_grouped_agg(
+        ds, keys=["user_id"], sums=["value"], count_alias="n_events",
+    ).rename_columns(["user_id", "total_value", "n_events"])
     df = agg.to_pandas()
     df["total_value_r"] = round_half_up(df["total_value"], 6)
     df = df.sort_values(["total_value_r", "user_id"],

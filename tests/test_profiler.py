@@ -257,3 +257,26 @@ def test_describe_directory_matches_single(ray_session, tmp_path):
         got = res[f].to_pandas()
         import pandas as pd
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_describe_file_matches_dataset_describe(ray_session, tmp_path):
+    """Row-group-parallel describe_file must match the Dataset-based
+    describe (same partial machinery, deterministic row-group merge
+    order) on a multi-row-group file."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from dataquality_cli_ray.pipelines.profiler import describe_file
+
+    t = pq.read_table("/root/testdata/sf0.001/orders.parquet")
+    f = str(tmp_path / "o.parquet")
+    pq.write_table(t, f, row_group_size=max(1, t.num_rows // 7))
+    got = describe_file(f).to_pandas()
+    want = describe(rd.read_parquet(f)).to_pandas()
+    # float partials merge in different orders -> last-bit noise
+    num = want.select_dtypes("float64").columns
+    pd.testing.assert_frame_equal(
+        got.drop(columns=num), want.drop(columns=num))
+    for c in num:
+        np.testing.assert_allclose(got[c], want[c], rtol=1e-12)

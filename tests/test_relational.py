@@ -107,3 +107,38 @@ def test_customers_without_orders_join_matches_broadcast(ray_session):
     jn = customers_without_orders(sf_dir, mode="join")
     pd.testing.assert_frame_equal(bc, jn)
     assert len(bc) > 0
+
+
+def test_tree_grouped_agg_semantics(ray_session):
+    """Combiner-tree grouped aggregate: sums, null-skipping means (SQL
+    AVG), COUNT(*) rows, and a column that is both summed and averaged."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dataquality_cli_ray.pipelines.relational import tree_grouped_agg
+
+    rng = np.random.default_rng(7)
+    n = 10_000
+    keys = rng.integers(0, 5, n)
+    vals = rng.normal(size=n)
+    mask = rng.random(n) < 0.1                      # 10% nulls
+    t = pa.table({
+        "k": keys,
+        "v": pa.array(np.where(mask, np.nan, vals), from_pandas=False),
+    })
+    t = t.set_column(1, "v", pa.array(
+        [None if m else float(x) for m, x in zip(mask, vals)],
+        type=pa.float64()))
+    ds = rd.from_arrow(t).repartition(13)
+    out = tree_grouped_agg(ds, keys=["k"], sums=["v"], means=["v"],
+                           count_alias="n_rows", batch_size=512).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    df = t.to_pandas()
+    ref = df.groupby("k").agg(
+        v_sum=("v", "sum"), v_mean=("v", "mean"),
+        n_rows=("v", "size")).reset_index()
+    assert out["k"].tolist() == ref["k"].tolist()
+    assert out["n_rows"].tolist() == ref["n_rows"].tolist()
+    np.testing.assert_allclose(out["v_sum"], ref["v_sum"], rtol=1e-12)
+    np.testing.assert_allclose(out["v_mean"], ref["v_mean"], rtol=1e-12)
