@@ -68,7 +68,6 @@ def _cap_bucket(g: pd.DataFrame, max_bucket: int, what: str) -> pd.DataFrame:
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min, Sum
 
 from ..functions.arrays import ids_np, list_col_to_matrix
 from ..functions.hashing import (
@@ -99,17 +98,42 @@ class _KeyCombiner:
         return g.rename_columns([self.key_col, "winner", "cnt"])
 
 
+def _group_minsum_local(key_col: str, *parts: pa.Table) -> pa.Table:
+    """Per-partition merge of (key, winner, cnt) combiner rows: min
+    winner + summed cnt per key (keys are co-located by the split)."""
+    t = pa.concat_tables(parts)
+    if t.num_rows == 0:
+        return t
+    g = t.group_by(key_col, use_threads=False).aggregate(
+        [("winner", "min"), ("cnt", "sum")])
+    return g.rename_columns([key_col, "winner", "cnt"])
+
+
+_group_minsum_task = ray.remote(_group_minsum_local)
+
+
 def exact_dup_groups(ds: "rd.Dataset", key_col: str, id_col: str) -> "rd.Dataset":
-    """(key, winner, cnt) for every key — combiner + groupby, exact.
-    cnt > 1 rows are duplicate groups; winner = min(id) (deterministic
-    keep-first, SURVEY.md §2.7)."""
+    """(key, winner, cnt) for every key — per-batch combiner + the
+    hash-partitioned exchange, exact. cnt > 1 rows are duplicate
+    groups; winner = min(id) (deterministic keep-first, SURVEY.md
+    §2.7). ``Dataset.groupby`` paid a sort-based all-to-all of the same
+    tiny rows (~0.4 s fixed at sf0.1; the round-2 dup-reduce measured
+    it 3× slower than even a driver merge) — the exchange co-locates
+    keys by hash and re-combines per partition instead."""
     combined = ds.select_columns([key_col, id_col]).map_batches(
         _KeyCombiner(key_col, id_col), batch_format="pyarrow",
         batch_size=65536, zero_copy_batch=True,
     )
-    return combined.groupby(key_col).aggregate(
-        Min("winner", alias_name="winner"), Sum("cnt", alias_name="cnt")
-    )
+    refs = _executed_block_refs(combined)
+    if not refs:
+        return combined
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    P = max(2, min(32, cpus, 4 * len(refs)))
+    return rd.from_arrow_refs(
+        _exchange(refs, key_col, P, _group_minsum_task, key_col))
 
 
 class _HashText:
