@@ -340,13 +340,29 @@ def session_windows(sf_dir: str, gap_minutes: int = 30,
         )
         return out.reset_index(drop=True)
 
-    df = (
-        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536,
-                       zero_copy_batch=True)
-        .groupby("user_bucket")
-        .map_groups(sessionize_bucket, batch_format="pandas")
-        .to_pandas()
-    )
+    # hash-partitioned exchange on user_id (all of a user's events land
+    # in one partition; sessionize_bucket is key-mix-safe) instead of
+    # groupby(bucket).map_groups — drops the sort-shuffle operator, same
+    # semantics (the bucket column only existed to bound group count)
+    from .dedup import _exchange, _executed_block_refs
+
+    marked = ds.map_batches(add_bucket, batch_format="pyarrow",
+                            batch_size=65536, zero_copy_batch=True)
+    refs = _executed_block_refs(marked)
+    if not refs:
+        df = (marked.groupby("user_bucket")
+              .map_groups(sessionize_bucket, batch_format="pandas")
+              .to_pandas())
+    else:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        P = max(2, min(num_buckets, cpus, 4 * len(refs)))
+        out_refs = _exchange(refs, "user_id", P,
+                             _sessionize_task, sessionize_bucket)
+        df = pd.concat([t.to_pandas() for t in ray.get(out_refs)],
+                       ignore_index=True)
     df["n_events"] = df["n_events"].astype("int64")
     df["total_value"] = round_half_up(df["total_value"], 6)
     return df.sort_values(["user_id", "session_start"]).reset_index(drop=True)
@@ -483,8 +499,59 @@ def asof_join(
             out = out[out[payload_r[0]].notna()]
         return _uni_out(out, left_by, left_on, l_payload, payload_r)
 
-    return uni.groupby("__bucket").map_groups(
-        merge_bucket, batch_format="pandas")
+    # finalize through the hash-partitioned exchange (one merge task per
+    # partition; a partition may hold MANY buckets — merge_asof(by=key)
+    # resolves any key mix, the bucket hash only bounds per-task memory)
+    # instead of groupby("__bucket").map_groups: the sort-based groupby
+    # exchange cost ~0.3 s fixed on this tiny-row all-to-all. Empty
+    # partitions are dropped via the rows-count return so pandas dtype
+    # promotion (how="left" nullable ints -> float) stays consistent
+    # across surviving blocks, matching the map_groups behavior of only
+    # materializing non-empty groups.
+    from .dedup import _exchange_split_task, _executed_block_refs
+
+    refs = _executed_block_refs(uni)
+    if not refs:                                 # blockless input
+        return uni.groupby("__bucket").map_groups(
+            merge_bucket, batch_format="pandas")
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    P = max(2, min(num_buckets, cpus, 4 * len(refs)))
+    group = 8
+    splits = [
+        _exchange_split_task.options(num_returns=P).remote(
+            P, "__key", *refs[i:i + group])
+        for i in range(0, len(refs), group)
+    ]
+    out_refs = [
+        _asof_merge_task.options(num_returns=2).remote(
+            merge_bucket, *[s[p] for s in splits])
+        for p in range(P)
+    ]
+    counts = ray.get([c for _, c in out_refs])
+    kept = [t for (t, _), n in zip(out_refs, counts) if n > 0]
+    return rd.from_arrow_refs(kept or [t for t, _ in out_refs[:1]])
+
+
+@ray.remote
+def _sessionize_task(merge_fn, *parts: pa.Table) -> pa.Table:
+    """One session partition: concat split slices, run the caller's
+    vectorized sessionizer, return the per-session aggregate table."""
+    t = pa.concat_tables(parts)
+    out = merge_fn(t.to_pandas())
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+@ray.remote
+def _asof_merge_task(merge_fn, *parts: pa.Table):
+    """One as-of partition: concat the split slices, resolve with the
+    caller's vectorized sorted-merge closure, return (table, rows)."""
+    t = pa.concat_tables(parts)
+    out = merge_fn(t.to_pandas())
+    tbl = pa.Table.from_pandas(out, preserve_index=False)
+    return tbl, tbl.num_rows
 
 
 def _uni_out(df: pd.DataFrame, left_by: str, left_on: str,
