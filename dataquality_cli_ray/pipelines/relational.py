@@ -3,13 +3,19 @@ aggregation with per-batch combiners, broadcast join, tumbling-window
 aggregation, grouped top-k. These exercise the wide-operator patterns
 (SURVEY.md §2.4-2.6) in their Ray-native form:
 
-- aggregations pre-combine inside map_batches where it shrinks the
-  shuffle (A10 pattern),
+- bounded-cardinality aggregations run through ``tree_grouped_agg``:
+  per-batch combiner + tree merge, no shuffle operator in the plan
+  (A10 pattern pushed to its limit),
 - the small join side is broadcast via ``ray.put`` (a dict lookup per
   batch), never shuffled (§2.4: the only join-like op the engine needs),
-- windows are a computed column + groupby (streaming-shaped semantics,
-  ray_guide: no event-time watermarks needed for batch windows),
-- top-k = groupby-aggregate then a driver-side sort of the tiny result.
+- windows are a computed column + the same combiner-tree aggregate
+  (streaming-shaped semantics, ray_guide: no event-time watermarks
+  needed for batch windows),
+- top-k = combiner-tree aggregate then a driver-side sort of the tiny
+  result,
+- key-co-location for the custom wide operators (as-of join, session
+  windows) goes through the hash-partitioned split/merge exchange, not
+  a sort-based groupby.
 """
 
 from __future__ import annotations
@@ -307,14 +313,15 @@ def session_windows(sf_dir: str, gap_minutes: int = 30,
     """Session windowing per user (streaming-shaped semantics): events
     within `gap_minutes` of the previous event join the same session.
 
-    Ray shape (ray_guide 'Streaming-shaped workloads'): hash users into
-    ``num_buckets`` partitions (groupby user_bucket — ONE shuffle whose
-    group count is num_buckets, not #users), then sessionize the whole
-    partition vectorized: sort by (user, ts, event_id), session breaks =
-    user change OR gap exceeded, session ids by cumsum, one pandas
-    groupby over (user, sid). This avoids the ~1 ms/group map_groups
-    cost that a per-user grouping pays at millions of users; bucket
-    memory is bounded by scaling num_buckets with the data."""
+    Ray shape (ray_guide 'Streaming-shaped workloads'): hash-partition
+    users through the split/merge exchange (all of a user's events land
+    in ONE partition; partition count ≤ num_buckets bounds per-task
+    memory), then sessionize the whole partition vectorized: sort by
+    (user, ts, event_id), session breaks = user change OR gap exceeded,
+    session ids by cumsum, one pandas groupby over (user, sid). This
+    avoids both the ~1 ms/group map_groups cost that a per-user
+    grouping pays at millions of users AND the sort-based shuffle a
+    ``Dataset.groupby`` would insert."""
     ds = read_parquet_small(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "value"])
     gap = np.timedelta64(gap_minutes * 60, "s")
