@@ -1330,6 +1330,72 @@ def q_docs_dup_clusters(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_docs_neardup_filter(sf_dir: str) -> pd.DataFrame:
+    """End-to-end near-dup keep-first FILTER — the composition a corpus
+    pipeline actually ships: MinHash-LSH candidates → exact-Jaccard
+    verify → transitive clusters → drop every non-representative
+    member through the distributed anti membership filter
+    (``dedup.semi_join_filter``: no driver-side doc set on the scale
+    path). Survivors = cluster representatives + all unclustered docs."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    ds = read_parquet_small(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    cand = DD.minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.4)
+    pairs = DD.verify_pairs_exact_jaccard(cand, ds, "text", "doc_id",
+                                          threshold=0.5)
+    clusters = DD.dup_clusters(pairs)              # pa.Table (O(clustered))
+    losers = clusters.filter(
+        pc.invert(pc.equal(clusters["doc_id"], clusters["cluster_id"])))
+    kept = DD.semi_join_filter(ds.select_columns(["doc_id"]),
+                               ray.data.from_arrow(losers),
+                               "doc_id", anti=True)
+    out = kept.to_pandas()
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_docs_neardup_filter(threshold: float = 0.5) -> str:
+    """Survivor list via the same recursive-closure clusters as
+    ``sql_docs_dup_clusters``: drop docs whose cluster id differs from
+    their own id."""
+    jac = "(i::DOUBLE / (sa.n + sb.n - i))"
+    return f"""WITH RECURSIVE base AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+pad AS (
+  SELECT doc_id, CASE WHEN length(t) < 5
+                      THEN t || repeat(' ', 5 - length(t)) ELSE t END AS t
+  FROM base),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS g FROM pad),
+sh AS (SELECT DISTINCT doc_id, substr(t, g, 5) AS s FROM pos),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE {jac} >= {threshold}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+clusters AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+  FROM reach GROUP BY a)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+ORDER BY d.doc_id"""
+
+
 def q_ann_topk_lsh(sf_dir: str) -> pd.DataFrame:
     Q, qids = SIM.load_query_vectors(sf_dir, ANN_NQ)
     ds = read_parquet_small(f"{sf_dir}/embeddings.parquet")
@@ -1863,6 +1929,7 @@ def build_queries() -> dict:
         "docs_hash_split": q_docs_hash_split,
         "docs_shard_counts": q_docs_shard_counts,
         "docs_winnow": q_docs_winnow,
+        "docs_neardup_filter": q_docs_neardup_filter,
     }
 
 
@@ -1916,6 +1983,7 @@ def build_oracles() -> dict:
         "embedding_dup_pairs": sql_embedding_dup_pairs(),
         "docs_ngram_jaccard": sql_docs_ngram_jaccard(),
         "docs_dup_clusters": sql_docs_dup_clusters(),
+        "docs_neardup_filter": sql_docs_neardup_filter(),
         "images_phash_neardup": sql_images_phash_neardup(),
         "images_phash_clusters": sql_images_phash_clusters(),
         "images_caption_cap": sql_images_caption_cap(),
