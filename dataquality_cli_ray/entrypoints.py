@@ -1885,6 +1885,11 @@ def build_queries() -> dict:
         "docs_shared_spans": q_docs_shared_spans,
         "docs_span_dedup": q_docs_span_dedup,
         "docs_line_dedup": q_docs_line_dedup,
+        # end-to-end near-dup keep-first filter (new in r5 — the only
+        # query with no driver row yet; promoted into the first-50
+        # window in place of describe_lineitem_numeric, whose describe
+        # family has green rows in all four prior rounds)
+        "docs_neardup_filter": q_docs_neardup_filter,
         # corpus ops (training-data scale operators)
         "docs_dsir_select": q_docs_dsir_select,
         "docs_decontaminate": q_docs_decontaminate,
@@ -1899,7 +1904,6 @@ def build_queries() -> dict:
         "docs_rules": q_docs_rules,
         "docs_scrubbed": q_docs_scrubbed,
         # profiler (reference describe semantics, A1-A9)
-        "describe_lineitem_numeric": q_describe_lineitem_numeric,
         "rollup_quality": q_rollup_quality,
         # relational / wide ops
         "q1_pricing_summary": lambda d: R.q1_pricing_summary(d),
@@ -1914,6 +1918,7 @@ def build_queries() -> dict:
         "videos_frame_sample": q_videos_frame_sample,
         # --- position 51+: long-green variants without an r4 driver row ---
         "audio_features": q_audio_features,
+        "describe_lineitem_numeric": q_describe_lineitem_numeric,
         "describe_customer_strings": q_describe_customer_strings,
         "null_rate_orders": q_null_rate_orders,
         "describe_dates": q_describe_dates,
@@ -1929,7 +1934,6 @@ def build_queries() -> dict:
         "docs_hash_split": q_docs_hash_split,
         "docs_shard_counts": q_docs_shard_counts,
         "docs_winnow": q_docs_winnow,
-        "docs_neardup_filter": q_docs_neardup_filter,
     }
 
 
