@@ -6,6 +6,7 @@ Usage:
         [--output FILE] [--num-cpus N]
     python -m dataquality_cli_ray quality --input PARQUET_DIR
         --output OUT_DIR [--shard-size N] [--num-cpus N]
+    python -m dataquality_cli_ray lineage OUT_DIR [--json] [--per-shard]
 
 The CLI owns the Ray session (guarded init per the driver contract);
 library code never calls ray.init.
@@ -168,6 +169,31 @@ def cmd_quality(args) -> int:
     return 0
 
 
+def cmd_lineage(args) -> int:
+    """Summarize a quality run's per-shard manifests (no Ray session)."""
+    import json
+
+    from .state.checkpoint import lineage_report
+
+    rep = lineage_report(args.run_dir)
+    if args.json:
+        print(json.dumps(rep, indent=1))
+        return 0
+    print(f"shards complete: {len(rep['shards'])}"
+          f"   incomplete: {len(rep['incomplete'])}"
+          f"   rows out: {rep['rows_out']}")
+    if rep["incomplete"]:
+        print("  incomplete:", ", ".join(rep["incomplete"]))
+    total = max(1, sum(rep["lineage"].values()))
+    for k, v in sorted(rep["lineage"].items(), key=lambda kv: -kv[1]):
+        print(f"  {k:<16}{v:>12}  {v / total * 100:6.2f}%")
+    if args.per_shard:
+        for m in rep["shards"]:
+            print(f"  shard={m['shard']}: rows_out={m['rows_out']} "
+                  f"fragments={len(m.get('input_fragments', []))}")
+    return 0
+
+
 def cmd_corpus(args) -> int:
     """Corpus-level training-data ops over a parquet file/dir input.
 
@@ -314,6 +340,15 @@ def main(argv=None) -> int:
                    help="drop near-solid images: decoded pixel std "
                         "below this (low_information)")
     q.set_defaults(fn=cmd_quality)
+
+    ln = sub.add_parser("lineage",
+                        help="summarize a quality run's shard manifests")
+    ln.add_argument("run_dir")
+    ln.add_argument("--json", action="store_true",
+                    help="emit the full report as JSON")
+    ln.add_argument("--per-shard", action="store_true",
+                    help="also list per-shard rows/fragments")
+    ln.set_defaults(fn=cmd_lineage)
 
     c = sub.add_parser("corpus", help="corpus-level training-data ops")
     c.add_argument("op", choices=["decontaminate", "chunk", "repetition",

@@ -129,6 +129,41 @@ def _count_rows_parquet(d: str) -> int:
     return total
 
 
+def lineage_report(out_root: str) -> dict:
+    """Read back a finished (or partial) resumable run's manifests.
+
+    Driver-side JSON only — no Ray session. Returns
+    ``{"shards": [per-shard manifest dicts in shard order],
+       "incomplete": [shard dirs still in .tmp / missing manifests],
+       "rows_out": total, "lineage": aggregated rule-hit counters}`` —
+    the read-back half of the north rule's "per-partition lineage +
+    metrics" (the write half is ``run_resumable``)."""
+    shards, incomplete = [], []
+    for name in sorted(os.listdir(out_root)):
+        p = os.path.join(out_root, name)
+        if name.endswith(".tmp"):
+            incomplete.append(name)
+            continue
+        if not (name.startswith("shard=") and os.path.isdir(p)):
+            continue
+        try:
+            with open(os.path.join(p, "manifest.json")) as f:
+                shards.append(json.load(f))
+        except (OSError, ValueError):
+            incomplete.append(name)
+    shards.sort(key=lambda m: m.get("shard", -1))
+    agg: dict[str, int] = {}
+    for m in shards:
+        for k, v in (m.get("lineage") or {}).items():
+            agg[k] = agg.get(k, 0) + int(v)
+    return {
+        "shards": shards,
+        "incomplete": incomplete,
+        "rows_out": sum(int(m.get("rows_out", 0)) for m in shards),
+        "lineage": agg,
+    }
+
+
 def drop_reason_lineage(out_dir: str) -> dict:
     """Default lineage_fn: per-rule counters from the shard's own output
     (column-pruned read of drop_reason only)."""

@@ -20,6 +20,7 @@ from dataquality_cli_ray.sources.readers import (
 from dataquality_cli_ray.state.checkpoint import (
     completed_shards,
     drop_reason_lineage,
+    lineage_report,
     run_resumable,
     shard_files,
 )
@@ -67,6 +68,23 @@ def test_resume_after_partial_failure(ray_session, input_files, tmp_path):
     r = run_resumable(input_files, out_root, _identity_pipeline, shard_size=2)
     assert r["shards_run"] == 1 and r["shards_skipped"] == 2
     assert completed_shards(out_root) == {0, 1, 2}
+
+
+def test_lineage_report_rollup(ray_session, input_files, tmp_path):
+    out_root = str(tmp_path / "out3")
+    run_resumable(input_files, out_root, _identity_pipeline,
+                  shard_size=2, lineage_fn=drop_reason_lineage)
+    rep = lineage_report(out_root)
+    assert len(rep["shards"]) == 3 and rep["incomplete"] == []
+    assert rep["rows_out"] == 60
+    # aggregate = 3 shards x per-shard counters
+    assert rep["lineage"] == {"KEEP": 48, "null_blank": 6, "char_class": 6}
+    # a .tmp dir and a manifest-less shard dir both read as incomplete
+    os.makedirs(os.path.join(out_root, "shard=3.tmp"))
+    os.remove(os.path.join(out_root, "shard=1", "manifest.json"))
+    rep2 = lineage_report(out_root)
+    assert sorted(rep2["incomplete"]) == ["shard=1", "shard=3.tmp"]
+    assert rep2["rows_out"] == 40
 
 
 def test_shard_files_deterministic():
