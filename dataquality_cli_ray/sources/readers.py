@@ -154,6 +154,23 @@ def _read_csv_truncate_task(path: str, delim: str):
     return _read_csv_truncate_table(path, delim)
 
 
+def read_jsonl(paths: str | list[str], columns: list[str] | None = None,
+               **kw) -> "rd.Dataset":
+    """JSONL (newline-delimited JSON) → Dataset.
+
+    The dominant text-corpus interchange format (C4 / Pile / RedPajama
+    dumps ship as ``.jsonl[.gz]``); the reference never grew past CSV.
+    Ray's ``read_json`` wraps the Arrow JSON reader — one read task per
+    file, gzip auto-detected by extension, rows with missing keys
+    null-padded. Arrow's JSON parser has no column pushdown, so the
+    projection runs immediately after the parse (fused into the read
+    task) and only requested columns reach the object store."""
+    ds = rd.read_json(paths, **kw)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
 def is_lance_dataset(path) -> bool:
     """True when the path is a Lance dataset (by layout; cheap stat)."""
     p = str(path)
@@ -161,8 +178,9 @@ def is_lance_dataset(path) -> bool:
 
 
 def read_table(path: str, columns: list[str] | None = None, **kw) -> "rd.Dataset":
-    """Lance if available and the path is a Lance dataset, else parquet.
-    One call site for the north rule's 'read via lance → Dataset'."""
+    """Format-dispatching table reader: Lance if available and the path
+    is a Lance dataset; JSONL / CSV by extension; else parquet. One
+    call site for the north rule's 'read via lance → Dataset'."""
     if is_lance_dataset(path):
         try:
             import lance  # noqa: F401
@@ -170,6 +188,12 @@ def read_table(path: str, columns: list[str] | None = None, **kw) -> "rd.Dataset
             return rd.read_lance(path, columns=columns, **kw)
         except ImportError:
             pass
+    low = str(path).lower()
+    if low.endswith((".jsonl", ".jsonl.gz", ".ndjson")):
+        return read_jsonl(path, columns=columns, **kw)
+    if low.endswith(".csv"):
+        ds = read_csv_auto(path, **kw)
+        return ds.select_columns(columns) if columns else ds
     return read_parquet_fast(path, columns=columns, **kw)
 
 

@@ -155,6 +155,24 @@ def test_render_describe_report():
     assert "rating:" in out and "x" in out and "s" in out
 
 
+def test_read_jsonl(ray_session, tmp_path):
+    from dataquality_cli_ray.sources.readers import read_jsonl, read_table
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "source": "web"}\n'
+        '{"doc_id": 2, "text": "b\\u00e9zier curves"}\n'   # missing key
+        '{"doc_id": 3, "text": "third", "source": "book"}\n'
+    )
+    t = read_jsonl(str(p)).to_pandas().sort_values("doc_id")
+    assert list(t["doc_id"]) == [1, 2, 3]
+    assert t["source"].isna().tolist() == [False, True, False]
+    assert t["text"].iloc[1] == "bézier curves"
+    # column projection + extension dispatch through read_table
+    t2 = read_table(str(p), columns=["doc_id"]).to_pandas()
+    assert list(t2.columns) == ["doc_id"] and len(t2) == 3
+
+
 def test_read_table_parquet_fallback(ray_session):
     """read_table dispatch: lance lib absent in this sandbox (or the
     path isn't a Lance dataset) -> parquet branch; result is a normal
