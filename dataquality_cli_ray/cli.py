@@ -207,10 +207,12 @@ def cmd_corpus(args) -> int:
 
     from .pipelines import corpus_ops as CO
     from .pipelines import dedup as DD
-    from .sources.readers import read_parquet_fast
+    from .sources.readers import read_table
 
     t0 = time.time()
-    ds = read_parquet_fast(args.input)
+    # extension-dispatching reader: parquet file/dir (fast footer path),
+    # .jsonl[.gz]/.ndjson, .csv, or a Lance dataset when the lib exists
+    ds = read_table(args.input)
     op, small = args.op, None
     if op == "decontaminate":
         bench_tbl = pq.read_table(args.bench, columns=[args.text_col])
