@@ -114,7 +114,12 @@ def cmd_describe(args) -> int:
                 reports.append(render_describe(os.path.basename(f), stats,
                                                time.time() - s))
     else:
-        reader = read_csv_auto if path.lower().endswith(".csv") else rd.read_parquet
+        if path.lower().endswith(".csv"):
+            reader = read_csv_auto
+        elif path.lower().endswith((".jsonl", ".jsonl.gz", ".ndjson")):
+            from .sources.readers import read_jsonl as reader
+        else:
+            reader = rd.read_parquet
         stats = describe(reader(path), mode=mode)
         reports.append(render_describe(os.path.basename(path), stats,
                                        time.time() - t0))
