@@ -173,6 +173,20 @@ def test_read_jsonl(ray_session, tmp_path):
     assert list(t2.columns) == ["doc_id"] and len(t2) == 3
 
 
+def test_jsonl_feeds_corpus_ops(ray_session, tmp_path):
+    # a .jsonl corpus runs the same pipelines as parquet (reader is the
+    # only format-aware layer)
+    from dataquality_cli_ray.pipelines.dedup import exact_dedup_by_text
+    from dataquality_cli_ray.sources.readers import read_table
+
+    p = tmp_path / "c.jsonl"
+    p.write_text("".join(
+        json.dumps({"doc_id": i, "text": t}) + "\n"
+        for i, t in enumerate(["same text", "same text", "other"])))
+    kept = exact_dedup_by_text(read_table(str(p)), "text", "doc_id")
+    assert sorted(kept.to_pandas()["doc_id"]) == [0, 2]
+
+
 def test_read_table_parquet_fallback(ray_session):
     """read_table dispatch: lance lib absent in this sandbox (or the
     path isn't a Lance dataset) -> parquet branch; result is a normal
