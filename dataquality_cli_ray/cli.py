@@ -298,10 +298,19 @@ def cmd_corpus(args) -> int:
     else:  # pragma: no cover - argparse choices guard this
         print(f"unknown corpus op {op}", file=sys.stderr)
         return 2
+    jsonl_out = args.output.lower().rstrip("/").endswith(".jsonl")
     if small is not None:
         os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
-        pq.write_table(small, args.output)
+        if jsonl_out:
+            small.to_pandas().to_json(args.output, orient="records",
+                                      lines=True)
+        else:
+            pq.write_table(small, args.output)
         n = small.num_rows
+    elif jsonl_out:
+        # Dataset JSONL sink: one .json part per block under the dir
+        out.write_json(args.output)
+        n = out.count()
     else:
         out.write_parquet(args.output)
         n = out.count()
