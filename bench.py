@@ -37,6 +37,22 @@ def _bench_rows() -> int:
     return {"0.1": 100_000, "0.01": 20_000}.get(sf, 5_000)
 
 
+def _warm_page_cache(fixture_dir: str, max_bytes: int | None = None) -> None:
+    """Read every parquet file's raw bytes so a following timed run
+    measures the pipeline, not cold device reads. ``max_bytes`` skips
+    the warm when the fixture exceeds it (scaling legs warm their
+    multi-GB inputs in ``run_scaling`` before each leg)."""
+    import glob
+
+    files = glob.glob(os.path.join(fixture_dir, "*.parquet"))
+    if max_bytes is not None and sum(map(os.path.getsize, files)) > max_bytes:
+        return
+    for f in files:
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+
 def run_benchmarks() -> dict:
     import ray
 
@@ -79,15 +95,7 @@ def run_benchmarks() -> dict:
     # projection): run 1 otherwise pays cold device reads for the
     # image-bytes pages the projection above never touches, which is
     # most of the 1.7-vs-0.9 s run-1/run-2 spread in driver benches
-    import glob as _glob
-    _files = _glob.glob(os.path.join(img_path, "*.parquet"))
-    if sum(os.path.getsize(f) for f in _files) <= (4 << 30):
-        # (scaling legs use multi-GB fixtures — run_scaling's own
-        # warm_page_cache covers those before each leg)
-        for _f in _files:
-            with open(_f, "rb") as _fh:
-                while _fh.read(1 << 24):
-                    pass
+    _warm_page_cache(img_path, max_bytes=4 << 30)
     rd.read_parquet(img_path, columns=["image_id"]).count()
     langid_model, ppl_model = build_models()
     # the warm fixture must span >= one 8k-row FILE per worker: reads
@@ -379,13 +387,9 @@ def run_scaling() -> dict:
     def warm_page_cache():
         # warm the fixture's page cache so run 1 measures the pipeline,
         # not cold device reads (no-op until the first leg generates it)
-        import glob
         from dataquality_cli_ray.fixtures.images import SEED
-        d = f"/tmp/dqray_fixtures/images_n{scaling_rows}_s{SEED}"
-        for f in glob.glob(f"{d}/*.parquet"):
-            with open(f, "rb") as fh:
-                while fh.read(1 << 24):
-                    pass
+
+        _warm_page_cache(f"/tmp/dqray_fixtures/images_n{scaling_rows}_s{SEED}")
 
     def cpu_stat() -> list[int]:
         with open("/proc/stat") as fh:

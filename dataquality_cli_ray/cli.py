@@ -180,7 +180,11 @@ def cmd_lineage(args) -> int:
 
     from .state.checkpoint import lineage_report
 
-    rep = lineage_report(args.run_dir)
+    try:
+        rep = lineage_report(args.run_dir)
+    except FileNotFoundError as e:
+        print(e, file=sys.stderr)
+        return 2
     if args.json:
         print(json.dumps(rep, indent=1))
         return 0
@@ -298,7 +302,9 @@ def cmd_corpus(args) -> int:
     else:  # pragma: no cover - argparse choices guard this
         print(f"unknown corpus op {op}", file=sys.stderr)
         return 2
-    jsonl_out = args.output.lower().rstrip("/").endswith(".jsonl")
+    # match the INPUT dispatch's newline-delimited-JSON extensions
+    jsonl_out = args.output.lower().rstrip("/").endswith((".jsonl",
+                                                          ".ndjson"))
     if small is not None:
         os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
         if jsonl_out:
@@ -307,13 +313,25 @@ def cmd_corpus(args) -> int:
         else:
             pq.write_table(small, args.output)
         n = small.num_rows
-    elif jsonl_out:
-        # Dataset JSONL sink: one .json part per block under the dir
-        out.write_json(args.output)
-        n = out.count()
     else:
-        out.write_parquet(args.output)
-        n = out.count()
+        # count from the WRITTEN artifacts (parquet footers / JSONL
+        # line counts), not out.count() — count() re-executes the whole
+        # derived plan, doubling every corpus op's wall time
+        if jsonl_out:
+            out.write_json(args.output)
+            n = 0
+            for root, _, fs in os.walk(args.output):
+                for f in fs:
+                    if f.endswith(".json"):
+                        with open(os.path.join(root, f), "rb") as fh:
+                            n += sum(ch.count(b"\n")
+                                     for ch in iter(lambda: fh.read(1 << 20),
+                                                    b""))
+        else:
+            from .state.checkpoint import _count_rows_parquet
+
+            out.write_parquet(args.output)
+            n = _count_rows_parquet(args.output)
     print({"op": op, "rows_out": n, "output": args.output,
            "elapsed_sec": round(time.time() - t0, 3)})
     return 0

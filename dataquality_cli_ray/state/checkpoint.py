@@ -138,13 +138,21 @@ def lineage_report(out_root: str) -> dict:
        "rows_out": total, "lineage": aggregated rule-hit counters}`` —
     the read-back half of the north rule's "per-partition lineage +
     metrics" (the write half is ``run_resumable``)."""
+    if not os.path.isdir(out_root):
+        raise FileNotFoundError(f"run directory not found: {out_root}")
     shards, incomplete = [], []
     for name in sorted(os.listdir(out_root)):
         p = os.path.join(out_root, name)
-        if name.endswith(".tmp"):
+        # classify with the SAME shard-name pattern resume uses
+        # (completed_shards): 'shard=<int>' dirs are shards,
+        # 'shard=<int>.tmp' dirs are crashed mid-writes; anything else
+        # (stray files, editor backups) is not the run's business
+        if (name.endswith(".tmp")
+                and _SHARD_DIR_RE.match(name[: -len(".tmp")])
+                and os.path.isdir(p)):
             incomplete.append(name)
             continue
-        if not (name.startswith("shard=") and os.path.isdir(p)):
+        if not (_SHARD_DIR_RE.match(name) and os.path.isdir(p)):
             continue
         try:
             with open(os.path.join(p, "manifest.json")) as f:

@@ -2,6 +2,7 @@
 
 import json
 import os
+import pathlib
 import shutil
 
 import numpy as np
@@ -79,12 +80,17 @@ def test_lineage_report_rollup(ray_session, input_files, tmp_path):
     assert rep["rows_out"] == 60
     # aggregate = 3 shards x per-shard counters
     assert rep["lineage"] == {"KEEP": 48, "null_blank": 6, "char_class": 6}
-    # a .tmp dir and a manifest-less shard dir both read as incomplete
+    # a crashed shard=<int>.tmp dir and a manifest-less shard dir both
+    # read as incomplete; stray non-shard entries are ignored
     os.makedirs(os.path.join(out_root, "shard=3.tmp"))
+    os.makedirs(os.path.join(out_root, "shard=0.bak"))
+    (pathlib.Path(out_root) / "notes.tmp").write_text("x")
     os.remove(os.path.join(out_root, "shard=1", "manifest.json"))
     rep2 = lineage_report(out_root)
     assert sorted(rep2["incomplete"]) == ["shard=1", "shard=3.tmp"]
     assert rep2["rows_out"] == 40
+    with pytest.raises(FileNotFoundError):
+        lineage_report(str(tmp_path / "no_such_run"))
 
 
 def test_shard_files_deterministic():

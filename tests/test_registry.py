@@ -14,7 +14,9 @@ def test_registry_shape():
     # every oracle maps to a query; names match exactly (the driver's
     # compare joins on the key)
     assert set(o) <= set(q), sorted(set(o) - set(q))
-    assert len(q) == len(set(q))
+    # exact count: a silently-dropped duplicate dict key or an
+    # accidental removal both change this (update when adding queries)
+    assert len(q) == len(o) == 67
 
 
 def test_driver_window_contains_flagship_and_new_queries():
